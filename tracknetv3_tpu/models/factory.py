@@ -1,0 +1,50 @@
+"""Model factory: the single construction path for all models.
+
+Mirrors the reference factory contract (reference: utils/general.py:46-80):
+``get_model('TrackNet', seq_len, bg_mode)`` maps bg_mode to the TrackNet
+input channel count, out_dim is always seq_len; ``get_model('InpaintNet')``
+takes no shape arguments.
+
+Returns ``(module, variables)`` where ``variables`` holds freshly-initialized
+``params`` (and ``batch_stats`` for TrackNet).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import HEIGHT, WIDTH, tracknet_in_channels
+from .inpaintnet import InpaintNet
+from .tracknet import TrackNet
+
+
+def get_model(
+    model_name: str,
+    seq_len: Optional[int] = None,
+    bg_mode: Optional[str] = None,
+    *,
+    rng: Optional[jax.Array] = None,
+    compute_dtype: Any = jnp.bfloat16,
+) -> Tuple[Any, Any]:
+    """Create a model and its initial variables by name and configuration."""
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    if model_name == "TrackNet":
+        assert seq_len is not None, "TrackNet requires seq_len"
+        in_ch = tracknet_in_channels(seq_len, bg_mode or "")
+        model = TrackNet(out_dim=seq_len, dtype=compute_dtype)
+        dummy = jnp.zeros((1, HEIGHT, WIDTH, in_ch), jnp.float32)
+        variables = jax.jit(lambda: model.init(rng, dummy, train=False))()
+        return model, variables
+    if model_name == "InpaintNet":
+        model = InpaintNet()
+        L = seq_len or 16
+        coords = jnp.zeros((1, L, 2), jnp.float32)
+        mask = jnp.zeros((1, L, 1), jnp.float32)
+        variables = jax.jit(lambda: model.init(rng, coords, mask))()
+        return model, variables
+    raise ValueError(f"Invalid model name: {model_name!r}")
