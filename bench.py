@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""End-to-end inference benchmark.
+
+Measures 720p end-to-end FPS of the TrackNet predict pipeline on one chip:
+uint8 720p frames -> fused device program (resize + bg-mode stacking +
+U-Net forward + temporal ensemble + coordinate decode) -> per-frame
+trajectory on host. This is the reference's headline metric
+(25.11 FPS end-to-end, /root/reference/README.md:31).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_FPS = 25.11  # reference TrackNetV3 end-to-end (README.md:31)
+
+
+def make_frames(n, h=720, w=1280, seed=0):
+    """Synthetic 720p broadcast-like frames with a moving bright dot."""
+    rng = np.random.default_rng(seed)
+    bg = np.full((h, w, 3), 70, np.uint8)
+    bg += rng.integers(0, 20, size=bg.shape, dtype=np.uint8)
+    frames = np.repeat(bg[None], n, axis=0)
+    for t in range(n):
+        x = int(w * 0.1 + w * 0.8 * t / max(n - 1, 1))
+        y = int(h * 0.6 - h * 0.4 * np.sin(np.pi * t / max(n - 1, 1)))
+        frames[t, max(0, y - 4) : y + 4, max(0, x - 4) : x + 4] = 255
+    return frames
+
+
+def get_checkpoint(tmpdir, seq_len=8, bg_mode="concat"):
+    """A TrackNet checkpoint for benching (random weights; compute cost is
+    weight-independent)."""
+    path = os.path.join(tmpdir, f"bench_TrackNet_{seq_len}_{bg_mode or 'none'}.pt")
+    if not os.path.exists(path):
+        from tracknetv3_tpu.models import get_model
+        from tracknetv3_tpu.training.checkpoint import save_checkpoint
+
+        model, variables = get_model("TrackNet", seq_len, bg_mode)
+        save_checkpoint(
+            path,
+            epoch=0,
+            max_val_acc=0.0,
+            model=variables,
+            param_dict=dict(model_name="TrackNet", seq_len=seq_len, bg_mode=bg_mode),
+        )
+    return path
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=480)
+    ap.add_argument("--batch_size", type=int, default=16)
+    ap.add_argument("--eval_mode", type=str, default="weight")
+    ap.add_argument("--bg_mode", type=str, default="concat")
+    ap.add_argument("--quick", action="store_true", help="small run for smoke tests")
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args()
+    if args.quick:
+        args.frames = 120
+
+    from tracknetv3_tpu.inference import TrackNetPredictor
+
+    ckpt = get_checkpoint("/tmp", bg_mode=args.bg_mode)
+    predictor = TrackNetPredictor(
+        ckpt, eval_mode=args.eval_mode, batch_size=args.batch_size
+    )
+
+    frames = make_frames(args.frames)
+    median = np.median(frames[:: max(args.frames // 30, 1)].astype(np.float32), axis=0)
+
+    # Warm-up: compile all programs on a short slice.
+    warm = frames[: args.batch_size + predictor.seq_len + 8]
+    predictor.predict_frames(warm, median=median)
+
+    t0 = time.time()
+    pred = predictor.predict_frames(frames, median=median)
+    elapsed = time.time() - t0
+    fps = len(pred["Frame"]) / elapsed
+
+    if args.verbose:
+        print(
+            f"# {len(pred['Frame'])} frames in {elapsed:.2f}s "
+            f"({fps:.1f} FPS, batch {args.batch_size}, {args.eval_mode})",
+            file=sys.stderr,
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "720p end-to-end FPS (TrackNet, weighted ensemble, 1 chip)",
+                "value": round(fps, 2),
+                "unit": "fps",
+                "vs_baseline": round(fps / BASELINE_FPS, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,53 @@
+#!/usr/bin/env python
+"""Generate predicted-trajectory CSVs + inpaint masks for InpaintNet training.
+
+Mirrors reference generate_mask_data.py: runs the TrackNet-only test engine
+over the given splits with ``save_inpaint_mask=True`` so every rally gets a
+``predicted_csv/{rally}_ball.csv`` with GT + predicted coordinates (input
+space) and the Inpaint_Mask column.
+"""
+
+import argparse
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--tracknet_file", type=str, required=True)
+    parser.add_argument("--batch_size", type=int, default=16)
+    parser.add_argument("--eval_mode", type=str, default="nonoverlap", choices=["nonoverlap", "average", "weight"])
+    parser.add_argument(
+        "--split_list", type=lambda s: s.split(","), default=["train", "val", "test"]
+    )
+    parser.add_argument("--tolerance", type=float, default=4)
+    parser.add_argument("--data_dir", type=str, default="data")
+    parser.add_argument("--debug", action="store_true", default=False)
+    parser.add_argument("--verbose", action="store_true", default=False)
+    args = parser.parse_args()
+
+    from tracknetv3_tpu.evaluation.test_engine import RallyTestEngine
+    from tracknetv3_tpu.training.checkpoint import load_model_from_checkpoint
+
+    model, variables, pd = load_model_from_checkpoint(args.tracknet_file)
+    engine = RallyTestEngine(
+        (model, variables),
+        None,
+        tracknet_seq_len=pd["seq_len"],
+        bg_mode=pd.get("bg_mode", ""),
+        eval_mode=args.eval_mode,
+        batch_size=args.batch_size,
+        tolerance=args.tolerance,
+    )
+    for split in args.split_list:
+        print(f"Generating predicted csv for {split} split...")
+        engine.test(
+            args.data_dir,
+            split,
+            save_inpaint_mask=True,
+            debug=args.debug,
+            verbose=args.verbose,
+        )
+    print("Done.")
+
+
+if __name__ == "__main__":
+    main()

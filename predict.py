@@ -1,0 +1,46 @@
+#!/usr/bin/env python
+"""Video inference CLI (argument surface mirrors reference predict.py:72-84)."""
+
+import argparse
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--video_file", type=str, required=True, help="file path of the video")
+    parser.add_argument("--tracknet_file", type=str, required=True, help="TrackNet checkpoint path")
+    parser.add_argument("--inpaintnet_file", type=str, default="", help="InpaintNet checkpoint path")
+    parser.add_argument("--batch_size", type=int, default=16, help="batch size for inference")
+    parser.add_argument("--eval_mode", type=str, default="weight", choices=["nonoverlap", "average", "weight"])
+    parser.add_argument("--max_sample_num", type=int, default=1800, help="max frames sampled for the median image")
+    parser.add_argument(
+        "--video_range",
+        type=lambda s: [int(v) for v in s.split(",")],
+        default=None,
+        help="start,end seconds of the video used for the median image",
+    )
+    parser.add_argument("--save_dir", type=str, default="pred_result")
+    parser.add_argument("--large_video", action="store_true", default=False, help="stream the video instead of loading it into RAM")
+    parser.add_argument("--output_video", action="store_true", default=False, help="write video overlaid with the predicted trajectory")
+    parser.add_argument("--traj_len", type=int, default=8, help="length of drawn trajectory comet")
+    args = parser.parse_args()
+
+    from tracknetv3_tpu.inference import predict_video
+
+    predict_video(
+        video_file=args.video_file,
+        tracknet_file=args.tracknet_file,
+        inpaintnet_file=args.inpaintnet_file,
+        eval_mode=args.eval_mode,
+        batch_size=args.batch_size,
+        max_sample_num=args.max_sample_num,
+        video_range=tuple(args.video_range) if args.video_range else None,
+        large_video=args.large_video,
+        save_dir=args.save_dir,
+        output_video=args.output_video,
+        traj_len=args.traj_len,
+    )
+    print("Done.")
+
+
+if __name__ == "__main__":
+    main()

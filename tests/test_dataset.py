@@ -1,0 +1,131 @@
+"""Dataset index building + batch loader tests over a tiny generated layout."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from PIL import Image
+
+from tracknetv3_tpu.config import HEIGHT, WIDTH
+from tracknetv3_tpu.data.dataset import (
+    CoordinateBatchLoader,
+    FrameCache,
+    HeatmapBatchLoader,
+    _slide_windows,
+    build_split_index,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_data(tmp_path_factory):
+    """Two matches x one rally, 12 frames of 64x36 PNGs with labels."""
+    root = tmp_path_factory.mktemp("data")
+    rng = np.random.default_rng(0)
+    for split in ("train", "val"):
+        for m in (1, 2):
+            match = root / split / f"match{m}"
+            rally = "1_00_00"
+            (match / "csv").mkdir(parents=True)
+            fdir = match / "frame" / rally
+            fdir.mkdir(parents=True)
+            rows = []
+            frames = []
+            for t in range(12):
+                img = rng.integers(0, 255, size=(36, 64, 3), dtype=np.uint8)
+                Image.fromarray(img).save(fdir / f"{t}.png")
+                frames.append(img)
+                vis = 0 if t == 5 else 1
+                rows.append((t, vis, 0 if vis == 0 else 10 + t, 0 if vis == 0 else 20))
+            pd.DataFrame(rows, columns=["Frame", "Visibility", "X", "Y"]).to_csv(
+                match / "csv" / f"{rally}_ball.csv", index=False
+            )
+            med = np.median(np.stack(frames).astype(np.float32), axis=0)
+            np.savez(fdir / "median.npz", median=med)
+            np.savez(match / "median.npz", median=med)
+            # predicted_csv for coordinate mode
+            (match / "predicted_csv").mkdir()
+            pdf = pd.DataFrame(
+                {
+                    "Frame": range(12),
+                    "Visibility_GT": [r[1] for r in rows],
+                    "X_GT": [r[2] for r in rows],
+                    "Y_GT": [r[3] for r in rows],
+                    "Visibility": [r[1] for r in rows],
+                    "X": [r[2] + 1 for r in rows],
+                    "Y": [r[3] for r in rows],
+                    "Inpaint_Mask": [0] * 12,
+                }
+            )
+            pdf.to_csv(match / "predicted_csv" / f"{rally}_ball.csv", index=False)
+    return str(root)
+
+
+def test_slide_windows_rules():
+    assert _slide_windows(10, 4, 1, False) == [
+        list(range(i, i + 4)) for i in range(7)
+    ]
+    # stride == seq_len without padding drops the short tail
+    assert _slide_windows(10, 4, 4, False) == [[0, 1, 2, 3], [4, 5, 6, 7]]
+    # with padding the tail repeats the last index
+    assert _slide_windows(10, 4, 4, True)[-1] == [8, 9, 9, 9]
+
+
+def test_split_index_heatmap(tiny_data):
+    idx = build_split_index(tiny_data, "train", 4, 1, "heatmap", use_cache=False)
+    # two rallies x (12-4+1)=9 windows
+    assert len(idx) == 18
+    assert idx.data["id"].shape == (18, 4, 2)
+    assert idx.data["coor"].shape == (18, 4, 2)
+    assert idx.img_shape.shape == (2, 2)
+    np.testing.assert_allclose(idx.img_scaler[0], [64 / WIDTH, 36 / HEIGHT])
+
+
+def test_split_index_npz_cache(tiny_data):
+    idx1 = build_split_index(tiny_data, "train", 4, 4, "heatmap", use_cache=True)
+    cache_file = os.path.join(tiny_data, "data_l4_s4_heatmap_train.npz")
+    assert os.path.exists(cache_file)
+    idx2 = build_split_index(tiny_data, "train", 4, 4, "heatmap", use_cache=True)
+    np.testing.assert_array_equal(idx1.data["id"], idx2.data["id"])
+
+
+@pytest.mark.parametrize("bg_mode", ["", "subtract", "subtract_concat", "concat"])
+def test_heatmap_loader_batches(tiny_data, bg_mode):
+    idx = build_split_index(tiny_data, "train", 4, 4, "heatmap", use_cache=False)
+    loader = HeatmapBatchLoader(idx, bg_mode, batch_size=3, data_dir=tiny_data)
+    batches = list(loader)
+    assert sum(b["id"].shape[0] for b in batches) == len(idx)
+    b = batches[0]
+    if bg_mode in ("", "subtract_concat", "concat"):
+        assert b["rgb"].shape == (3, 4, HEIGHT, WIDTH, 3)
+        assert b["rgb"].dtype == np.uint8
+    if bg_mode in ("subtract", "subtract_concat"):
+        assert b["diff"].shape == (3, 4, HEIGHT, WIDTH, 1)
+    if bg_mode == "concat":
+        assert b["median"].shape == (3, HEIGHT, WIDTH, 3)
+    # invisible frame (t=5) must have cxcy == (0, 0)
+    flat_pos = b["id"][..., 1].reshape(-1)
+    flat_cx = b["cxcy"][..., 0].reshape(-1)
+    assert np.all(flat_cx[flat_pos == 5] == 0)
+
+
+def test_coordinate_loader(tiny_data):
+    idx = build_split_index(tiny_data, "train", 4, 2, "coordinate", use_cache=False)
+    loader = CoordinateBatchLoader(idx, batch_size=4)
+    b = next(iter(loader))
+    assert b["coor"].shape == (4, 4, 2)
+    assert b["coor_pred"].shape == (4, 4, 2)
+    assert b["inpaint_mask"].shape == (4, 4, 1)
+    # normalized by model input size
+    assert b["coor"].max() <= 1.0
+
+
+def test_frame_cache_persists(tiny_data):
+    rally_dir = os.path.join(tiny_data, "train", "match1", "frame", "1_00_00")
+    cache = FrameCache(tiny_data, "subtract")
+    rgb, diff, med = cache.load(rally_dir)
+    assert diff.shape == (12, HEIGHT, WIDTH)
+    assert os.path.exists(os.path.join(rally_dir, f"cache_{HEIGHT}x{WIDTH}_diff.npz"))
+    cache2 = FrameCache(tiny_data, "subtract")
+    rgb2, diff2, _ = cache2.load(rally_dir)
+    np.testing.assert_array_equal(diff, diff2)

@@ -1,0 +1,163 @@
+"""Training-step tests: single-device and 8-device data-parallel (CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tracknetv3_tpu.models import get_model
+from tracknetv3_tpu.parallel.mesh import make_mesh, replicate_tree, shard_batch
+from tracknetv3_tpu.training.optim import build_optimizer, build_schedule
+from tracknetv3_tpu.training.steps import (
+    TrainState,
+    create_train_state,
+    make_inpaintnet_eval_step,
+    make_inpaintnet_train_step,
+    make_tracknet_eval_step,
+    make_tracknet_train_step,
+    sample_mixup,
+)
+
+
+def _tiny_batch(batch=4, seq_len=3, h=16, w=32, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "rgb": rng.integers(0, 255, size=(batch, seq_len, h, w, 3), dtype=np.uint8),
+        "median": rng.integers(0, 255, size=(batch, h, w, 3), dtype=np.uint8),
+        "cxcy": np.stack(
+            [
+                rng.integers(1, w - 1, size=(batch, seq_len)),
+                rng.integers(1, h - 1, size=(batch, seq_len)),
+            ],
+            axis=-1,
+        ).astype(np.int32),
+        "id": np.zeros((batch, seq_len, 2), np.int32),
+    }
+
+
+def test_tracknet_train_step_reduces_loss():
+    model, variables = get_model("TrackNet", 3, "concat")
+    tx = build_optimizer("Adam", 1e-3)
+    state = create_train_state(variables, tx)
+    step = make_tracknet_train_step(model, tx, "concat", alpha=-1)
+    batch = _tiny_batch()
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(8):
+        state, loss = step(state, batch, jax.random.fold_in(rng, i))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 8
+
+
+def test_tracknet_train_step_with_mixup_runs():
+    model, variables = get_model("TrackNet", 3, "")
+    tx = build_optimizer("SGD", 1e-2)
+    state = create_train_state(variables, tx)
+    step = make_tracknet_train_step(model, tx, "", alpha=0.5)
+    batch = {k: v for k, v in _tiny_batch().items() if k != "median"}
+    state, loss = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+
+
+def test_sample_mixup_properties():
+    rng = jax.random.PRNGKey(0)
+    x = jnp.stack([jnp.zeros((4, 4, 2)), jnp.ones((4, 4, 2))])
+    y = x.copy()
+    xm, ym = sample_mixup(rng, x, y, alpha=0.5)
+    # lambda >= 0.5 guaranteed by max(l, 1-l); outputs stay within hull
+    assert float(xm.min()) >= 0.0 and float(xm.max()) <= 1.0
+    np.testing.assert_allclose(np.asarray(xm), np.asarray(ym))
+
+
+def test_inpaintnet_train_and_eval_steps():
+    model, variables = get_model("InpaintNet", 8)
+    tx = build_optimizer("Adam", 1e-3, clip_norm=1.0)
+    state = create_train_state(variables, tx)
+    # mask_ratio=1.0 -> deterministic mask (all visible positions), so the
+    # loss sequence is monotone-ish rather than mask-noise dominated.
+    step = make_inpaintnet_train_step(model, tx, mask_ratio=1.0)
+    rng = np.random.default_rng(0)
+    batch = {
+        "coor_pred": rng.uniform(0, 1, (4, 8, 2)).astype(np.float32),
+        "coor": rng.uniform(0, 1, (4, 8, 2)).astype(np.float32),
+        "vis": np.ones((4, 8, 1), np.float32),
+        "pred_vis": np.ones((4, 8, 1), np.float32),
+        "inpaint_mask": np.zeros((4, 8, 1), np.float32),
+        "id": np.zeros((4, 8, 2), np.int32),
+    }
+    losses = []
+    key = jax.random.PRNGKey(0)
+    for i in range(10):
+        state, loss = step(state, batch, jax.random.fold_in(key, i))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+    eval_step = make_inpaintnet_eval_step(model)
+    loss, coor = eval_step(state, batch)
+    assert coor.shape == (4, 8, 2)
+    assert np.isfinite(float(loss))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_data_parallel_train_step_8_devices():
+    """Full DP step over the 8-device CPU mesh: sharded batch, replicated
+    params, XLA-inserted gradient all-reduce + global BN stats."""
+    mesh = make_mesh(8)
+    model, variables = get_model("TrackNet", 3, "concat")
+    tx = build_optimizer("Adam", 1e-3)
+    state = create_train_state(variables, tx)
+    state = TrainState(*replicate_tree(tuple(state), mesh))
+    step = make_tracknet_train_step(model, tx, "concat", alpha=0.5)
+    batch = shard_batch(_tiny_batch(batch=16), mesh)
+    state, loss = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+    # Parameters remain replicated after the update.
+    kernel = state.params["down_block_1"]["conv_1"]["conv"]["kernel"]
+    assert kernel.sharding.is_fully_replicated
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_dp_matches_single_device():
+    """DP-sharded training must produce the same loss/params as one device
+    (sync-BN semantics: global batch statistics)."""
+    model, variables = get_model("TrackNet", 3, "")
+    tx = build_optimizer("SGD", 1e-2)
+    batch = {k: v for k, v in _tiny_batch(batch=8).items() if k != "median"}
+    rng = jax.random.PRNGKey(0)
+
+    # Train steps donate their state, so each run needs its own copy.
+    variables = jax.tree_util.tree_map(np.asarray, variables)
+
+    s1 = create_train_state(variables, tx)
+    step1 = make_tracknet_train_step(model, tx, "", alpha=-1)
+    s1, loss1 = step1(s1, batch, rng)
+
+    mesh = make_mesh(8)
+    s2 = create_train_state(variables, tx)
+    s2 = TrainState(*replicate_tree(tuple(s2), mesh))
+    step2 = make_tracknet_train_step(model, tx, "", alpha=-1)
+    s2, loss2 = step2(s2, shard_batch(batch, mesh), rng)
+
+    assert abs(float(loss1) - float(loss2)) < 1e-5
+    k1 = np.asarray(s1.params["predictor"]["kernel"])
+    k2 = np.asarray(s2.params["predictor"]["kernel"])
+    np.testing.assert_allclose(k1, k2, atol=1e-5)
+
+
+def test_steplr_schedule():
+    sched = build_schedule(1.0, "StepLR", epochs=9, steps_per_epoch=10)
+    assert abs(sched(0) - 1.0) < 1e-9
+    assert abs(sched(30) - 0.1) < 1e-9  # after epoch 3
+    assert abs(sched(60) - 0.01) < 1e-9  # after epoch 6
+
+
+def test_eval_step_shapes():
+    model, variables = get_model("TrackNet", 3, "")
+    tx = build_optimizer("Adam", 1e-3)
+    state = create_train_state(variables, tx)
+    eval_step = make_tracknet_eval_step(model, "")
+    batch = {k: v for k, v in _tiny_batch().items() if k != "median"}
+    loss, probs = eval_step(state, batch)
+    assert probs.shape == (4, 16, 32, 3)
+    assert np.isfinite(float(loss))

@@ -1,0 +1,469 @@
+"""Shuttlecock Trajectory Dataset: window indices, caches, batch loaders.
+
+Reproduces the four operating modes of the reference dataset
+(reference: dataset.py:14-666) on top of the same on-disk layout:
+
+  (a) split/rally heatmap mode  - sliding-window index over per-rally label
+      CSVs, cached to ``data_l{L}_s{S}_{mode}_{split}.npz`` plus
+      ``img_config_{H}x{W}_{split}.npz`` (identical filenames, so caches
+      interoperate with the reference).
+  (b) coordinate mode           - windows over ``predicted_csv`` files for
+      InpaintNet training/eval.
+  (c) frame_arr inference mode  - handled by the inference engine
+      (tracknetv3_tpu.inference), which windows on device.
+  (d) pred_dict coordinate mode - handled by the inference engine.
+
+TPU-first data path: instead of decoding + PIL-resizing every frame
+``seq_len`` times per epoch in worker processes, frames are decoded ONCE
+into a per-rally uint8 cache at model resolution (RGB and, for subtract
+modes, the mod-256 difference image - both computed with the exact
+reference recipe), and batches are assembled by pure numpy gather. The
+normalize/stack/label-generation work happens on device inside the jitted
+train step.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+from ..config import HEIGHT, IMG_FORMAT, WIDTH
+from ..utils.io import (
+    get_rally_dirs,
+    label_csv_path,
+    load_median_for_rally,
+    parse_rally_dir,
+    read_label_csv,
+)
+
+
+# ----------------------------- window indices -----------------------------
+
+
+def _slide_windows(
+    n: int, seq_len: int, sliding_step: int, padding: bool
+) -> List[List[int]]:
+    """Frame-index windows (reference sliding rules, dataset.py:239-268):
+    windows shorter than seq_len are dropped unless padding, in which case
+    the last valid index is repeated. ``padding`` only applies when
+    sliding_step == seq_len (reference: dataset.py:94)."""
+    windows = []
+    for i in range(0, n, sliding_step):
+        idx = list(range(i, min(i + seq_len, n)))
+        if len(idx) < seq_len:
+            if padding and idx:
+                idx = idx + [idx[-1]] * (seq_len - len(idx))
+            else:
+                continue
+        windows.append(idx)
+    return windows
+
+
+def build_rally_heatmap_index(
+    data_dir: str,
+    rally_dir: str,
+    rally_i: int,
+    seq_len: int,
+    sliding_step: int,
+    padding: bool = False,
+) -> Dict[str, np.ndarray]:
+    """Heatmap-mode window index for one rally (id, frame ids, coor, vis)."""
+    match_dir, rally_id = parse_rally_dir(rally_dir)
+    csv_file = label_csv_path(match_dir, rally_id)
+    df = read_label_csv(csv_file)
+    frames = df["Frame"].to_numpy()
+    x = df["X"].to_numpy(np.float32)
+    y = df["Y"].to_numpy(np.float32)
+    v = df["Visibility"].to_numpy(np.float32)
+
+    padding = padding and sliding_step == seq_len
+    windows = _slide_windows(len(df), seq_len, sliding_step, padding)
+    if not windows:
+        return {
+            "id": np.zeros((0, seq_len, 2), np.int32),
+            "frame_id": np.zeros((0, seq_len), np.int64),
+            "coor": np.zeros((0, seq_len, 2), np.float32),
+            "vis": np.zeros((0, seq_len), np.float32),
+        }
+    w = np.asarray(windows)
+    ids = np.stack([np.full_like(w, rally_i), w], axis=-1).astype(np.int32)
+    return {
+        "id": ids,
+        "frame_id": frames[w].astype(np.int64),
+        "coor": np.stack([x[w], y[w]], axis=-1),
+        "vis": v[w],
+    }
+
+
+def build_rally_coordinate_index(
+    data_dir: str,
+    rally_dir: str,
+    rally_i: int,
+    seq_len: int,
+    sliding_step: int,
+    padding: bool = False,
+) -> Dict[str, np.ndarray]:
+    """Coordinate-mode window index from predicted_csv (InpaintNet data).
+
+    Reads the ``Frame,Visibility_GT,X_GT,Y_GT,Visibility,X,Y,Inpaint_Mask``
+    CSVs produced by generate_mask_data (reference: dataset.py:271-327)."""
+    match_dir, rally_id = parse_rally_dir(rally_dir)
+    csv_file = os.path.join(match_dir, "predicted_csv", f"{rally_id}_ball.csv")
+    assert os.path.exists(csv_file), f"{csv_file} does not exist."
+    df = read_label_csv(csv_file)
+
+    padding = padding and sliding_step == seq_len
+    windows = _slide_windows(len(df), seq_len, sliding_step, padding)
+    if not windows:
+        z = np.zeros((0, seq_len), np.float32)
+        return {
+            "id": np.zeros((0, seq_len, 2), np.int32),
+            "coor": np.zeros((0, seq_len, 2), np.float32),
+            "coor_pred": np.zeros((0, seq_len, 2), np.float32),
+            "vis": z,
+            "pred_vis": z,
+            "inpaint_mask": z,
+        }
+    w = np.asarray(windows)
+    ids = np.stack([np.full_like(w, rally_i), w], axis=-1).astype(np.int32)
+
+    def col(name):
+        return df[name].to_numpy(np.float32)[w]
+
+    return {
+        "id": ids,
+        "coor": np.stack([col("X_GT"), col("Y_GT")], axis=-1),
+        "coor_pred": np.stack([col("X"), col("Y")], axis=-1),
+        "vis": col("Visibility_GT"),
+        "pred_vis": col("Visibility"),
+        "inpaint_mask": col("Inpaint_Mask"),
+    }
+
+
+@dataclass
+class SplitIndex:
+    """Window index over a whole split (or one rally) + image geometry."""
+
+    data: Dict[str, np.ndarray]
+    rally_dirs: List[str]  # absolute, indexed by rally_i
+    img_shape: np.ndarray  # (num_rally, 2) original (w, h) per rally
+    img_scaler: np.ndarray  # (num_rally, 2) (w/WIDTH, h/HEIGHT)
+
+    def __len__(self):
+        return len(self.data["id"])
+
+
+def _rally_geometry(rally_dirs: List[str]) -> Tuple[np.ndarray, np.ndarray]:
+    shapes, scalers = [], []
+    for rd in rally_dirs:
+        with Image.open(os.path.join(rd, f"0.{IMG_FORMAT}")) as im:
+            w, h = im.size
+        shapes.append((w, h))
+        scalers.append((w / WIDTH, h / HEIGHT))
+    return np.asarray(shapes, np.float64), np.asarray(scalers, np.float64)
+
+
+def build_split_index(
+    data_dir: str,
+    split: str,
+    seq_len: int,
+    sliding_step: int,
+    data_mode: str = "heatmap",
+    padding: bool = False,
+    rally_dir: Optional[str] = None,
+    debug: bool = False,
+    use_cache: bool = True,
+) -> SplitIndex:
+    """Build (or load from npz cache) the window index of a split.
+
+    Cache filenames match the reference (dataset.py:117-134) so prepared
+    data dirs remain interchangeable."""
+    rally_dirs_rel = get_rally_dirs(data_dir, split)
+    rally_dirs = [os.path.join(data_dir, rd) for rd in rally_dirs_rel]
+
+    cfg_file = os.path.join(data_dir, f"img_config_{HEIGHT}x{WIDTH}_{split}.npz")
+    if use_cache and os.path.exists(cfg_file):
+        cfg = np.load(cfg_file)
+        img_shape, img_scaler = cfg["img_shape"], cfg["img_scaler"]
+    else:
+        img_shape, img_scaler = _rally_geometry(rally_dirs)
+        if use_cache:
+            np.savez(cfg_file, img_shape=img_shape, img_scaler=img_scaler)
+
+    build_fn = (
+        build_rally_heatmap_index
+        if data_mode == "heatmap"
+        else build_rally_coordinate_index
+    )
+
+    if rally_dir is not None:
+        rally_dir = os.path.abspath(rally_dir)
+        abs_dirs = [os.path.abspath(d) for d in rally_dirs]
+        rally_i = abs_dirs.index(rally_dir)
+        data = build_fn(data_dir, rally_dir, rally_i, seq_len, sliding_step, padding)
+    else:
+        cache_file = os.path.join(
+            data_dir, f"data_l{seq_len}_s{sliding_step}_{data_mode}_{split}.npz"
+        )
+        if use_cache and os.path.exists(cache_file):
+            loaded = np.load(cache_file, allow_pickle=False)
+            data = {k: loaded[k] for k in loaded.files}
+        else:
+            parts = [
+                build_fn(data_dir, rd, i, seq_len, sliding_step, padding)
+                for i, rd in enumerate(rally_dirs)
+            ]
+            data = {
+                k: np.concatenate([p[k] for p in parts], axis=0)
+                for k in parts[0].keys()
+            }
+            if use_cache:
+                np.savez(cache_file, **data)
+
+    if debug:
+        data = {k: v[:256] for k, v in data.items()}
+    return SplitIndex(data, rally_dirs, img_shape, img_scaler)
+
+
+# ------------------------- resized-frame cache ----------------------------
+
+
+class FrameCache:
+    """Per-rally uint8 cache of model-resolution frames (and diff frames).
+
+    Decodes each PNG exactly once; later epochs are pure numpy gathers.
+    The RGB resize and the subtract-mode difference image follow the
+    reference recipe bit-for-bit (PIL BICUBIC; diff = uint8(sum|f-median|)
+    at original resolution, then resized; reference dataset.py:617-630).
+    """
+
+    def __init__(self, data_dir: str, bg_mode: str = ""):
+        self.data_dir = data_dir
+        self.bg_mode = bg_mode
+        self._rgb: Dict[str, np.ndarray] = {}
+        self._diff: Dict[str, np.ndarray] = {}
+        self._median: Dict[str, np.ndarray] = {}
+
+    def _cache_path(self, rally_dir: str) -> str:
+        tag = "diff" if self.bg_mode in ("subtract", "subtract_concat") else "rgb"
+        return os.path.join(rally_dir, f"cache_{HEIGHT}x{WIDTH}_{tag}.npz")
+
+    def _build(self, rally_dir: str):
+        match_dir, rally_id = parse_rally_dir(rally_dir)
+        n = len(
+            [f for f in os.listdir(rally_dir) if f.endswith("." + IMG_FORMAT)]
+        )
+        need_diff = self.bg_mode in ("subtract", "subtract_concat")
+        median = load_median_for_rally(match_dir, rally_id) if self.bg_mode else None
+
+        rgb = np.zeros((n, HEIGHT, WIDTH, 3), np.uint8)
+        diff = np.zeros((n, HEIGHT, WIDTH), np.uint8) if need_diff else None
+        for i in range(n):
+            with Image.open(os.path.join(rally_dir, f"{i}.{IMG_FORMAT}")) as im:
+                im = im.convert("RGB")
+                arr = np.asarray(im)
+                rgb[i] = np.asarray(im.resize((WIDTH, HEIGHT), Image.BICUBIC))
+            if need_diff:
+                d = np.sum(np.abs(arr - median), axis=2).astype("uint8")
+                diff[i] = np.asarray(
+                    Image.fromarray(d).resize((WIDTH, HEIGHT), Image.BICUBIC)
+                )
+        out = {"rgb": rgb}
+        if need_diff:
+            out["diff"] = diff
+        if self.bg_mode == "concat":
+            med_img = Image.fromarray(median.astype("uint8"))
+            out["median_resized"] = np.asarray(med_img.resize((WIDTH, HEIGHT)))
+        np.savez(self._cache_path(rally_dir), **out)
+        return out
+
+    def load(self, rally_dir: str):
+        if rally_dir not in self._rgb:
+            path = self._cache_path(rally_dir)
+            if os.path.exists(path):
+                data = dict(np.load(path))
+            else:
+                data = self._build(rally_dir)
+            self._rgb[rally_dir] = data["rgb"]
+            if "diff" in data:
+                self._diff[rally_dir] = data["diff"]
+            if "median_resized" in data:
+                self._median[rally_dir] = data["median_resized"]
+        return (
+            self._rgb[rally_dir],
+            self._diff.get(rally_dir),
+            self._median.get(rally_dir),
+        )
+
+
+# ----------------------------- batch loaders ------------------------------
+
+
+class HeatmapBatchLoader:
+    """Yields device-ready training batches for TrackNet.
+
+    Each batch is a dict of numpy arrays:
+      id         (B, L, 2) int32      window identity (rally_i, frame pos)
+      rgb        (B, L, H, W, 3) u8   resized frames      (rgb modes)
+      diff       (B, L, H, W, 1) u8   resized diff frames (subtract modes)
+      median     (B, H, W, 3) u8      resized median      (concat mode)
+      cxcy       (B, L, 2) int32      input-space integer label centers
+      coor       (B, L, 2) f32        normalized [0,1] label coordinates
+      vis        (B, L) f32
+
+    Channel stacking /255 normalization and heatmap generation happen on
+    device (ops.preprocess.window_channels / ops.heatmap.make_heatmaps).
+    """
+
+    def __init__(
+        self,
+        index: SplitIndex,
+        bg_mode: str = "",
+        batch_size: int = 8,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        seed: int = 13,
+        data_dir: str = "",
+        frame_alpha: float = -1.0,
+    ):
+        self.index = index
+        self.bg_mode = bg_mode
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.rng = np.random.default_rng(seed)
+        self.cache = FrameCache(data_dir, bg_mode)
+        self.frame_alpha = frame_alpha
+
+    def __len__(self):
+        n = len(self.index)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _gather_frames(self, ids: np.ndarray, frame_pos: np.ndarray):
+        """(B, L) gather from per-rally caches."""
+        B, L = frame_pos.shape
+        need_diff = self.bg_mode in ("subtract", "subtract_concat")
+        need_rgb = self.bg_mode in ("", "subtract_concat", "concat")
+        rgb = np.zeros((B, L, HEIGHT, WIDTH, 3), np.uint8) if need_rgb else None
+        diff = np.zeros((B, L, HEIGHT, WIDTH, 1), np.uint8) if need_diff else None
+        median = (
+            np.zeros((B, HEIGHT, WIDTH, 3), np.uint8)
+            if self.bg_mode == "concat"
+            else None
+        )
+        for b in range(B):
+            rd = self.index.rally_dirs[ids[b, 0, 0]]
+            r, d, m = self.cache.load(rd)
+            pos = frame_pos[b]
+            if need_rgb:
+                rgb[b] = r[pos]
+            if need_diff:
+                diff[b] = d[pos][..., None]
+            if median is not None:
+                median[b] = m
+        return rgb, diff, median
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self.index)
+        order = np.arange(n)
+        if self.shuffle:
+            self.rng.shuffle(order)
+        B = self.batch_size
+        stop = (n // B) * B if self.drop_last else n
+        for s in range(0, stop, B):
+            sel = order[s : s + B]
+            ids = self.index.data["id"][sel]
+            # Pixel gather uses the on-disk frame numbers ({n}.png), which
+            # may differ from label-row positions stored in ids[..., 1].
+            frame_pos = self.index.data["frame_id"][sel]
+            coor = self.index.data["coor"][sel].astype(np.float32)
+            vis = self.index.data["vis"][sel].astype(np.float32)
+            scaler = self.index.img_scaler[ids[:, 0, 0]]  # (B, 2)
+            shape = self.index.img_shape[ids[:, 0, 0]]  # (B, 2)
+            cx = (coor[..., 0] / scaler[:, None, 0]).astype(np.int32)
+            cy = (coor[..., 1] / scaler[:, None, 1]).astype(np.int32)
+            rgb, diff, median = self._gather_frames(ids, frame_pos)
+            batch = {
+                "id": ids,
+                "cxcy": np.stack([cx, cy], axis=-1),
+                "coor": coor / shape[:, None, :],  # normalized by original size
+                "vis": vis,
+            }
+            if rgb is not None:
+                batch["rgb"] = rgb
+            if diff is not None:
+                batch["diff"] = diff
+            if median is not None:
+                batch["median"] = median
+            if self.frame_alpha > 0:
+                from .frame_mixup import plan_frame_mixup
+
+                B = len(sel)
+                plans = [
+                    plan_frame_mixup(
+                        coor[b], vis[b], scaler[b, 0], scaler[b, 1],
+                        self.frame_alpha, self.rng,
+                    )
+                    for b in range(B)
+                ]
+                batch["mix_pair"] = np.stack([p.frame_pair for p in plans])
+                batch["mix_pix_w"] = np.stack([p.pix_w for p in plans])
+                batch["mix_centers"] = np.stack([p.centers for p in plans])
+                batch["mix_hm_w"] = np.stack([p.hm_w for p in plans])
+                # viz-only coords/vis follow the resampled slots
+                batch["coor"] = np.stack([p.coor for p in plans]) / shape[:, None, :]
+                batch["vis"] = np.stack([p.vis for p in plans])
+            yield batch
+
+
+class CoordinateBatchLoader:
+    """Yields InpaintNet batches (coordinate mode, reference dataset.py:649-664).
+
+    Coordinates are normalized by the model input size (WIDTH, HEIGHT),
+    matching the reference's coordinate-mode normalization."""
+
+    def __init__(
+        self,
+        index: SplitIndex,
+        batch_size: int = 8,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        seed: int = 13,
+    ):
+        self.index = index
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        n = len(self.index)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self.index)
+        order = np.arange(n)
+        if self.shuffle:
+            self.rng.shuffle(order)
+        B = self.batch_size
+        stop = (n // B) * B if self.drop_last else n
+        norm = np.asarray([WIDTH, HEIGHT], np.float32)
+        for s in range(0, stop, B):
+            sel = order[s : s + B]
+            d = self.index.data
+            yield {
+                "id": d["id"][sel],
+                "coor": d["coor"][sel].astype(np.float32) / norm,
+                "coor_pred": d["coor_pred"][sel].astype(np.float32) / norm,
+                "vis": d["vis"][sel].astype(np.float32)[..., None],
+                "pred_vis": d["pred_vis"][sel].astype(np.float32)[..., None],
+                "inpaint_mask": d["inpaint_mask"][sel].astype(np.float32)[..., None],
+            }

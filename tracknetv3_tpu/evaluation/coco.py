@@ -1,0 +1,177 @@
+"""COCO-format export and a self-contained single-class AP evaluator.
+
+The reference exports GT to COCO JSON with fixed 10x10 boxes and runs
+pycocotools mAP@{0.25, 0.5} (reference: utils/general.py:356-408,
+test.py:441-475, 998-1018). pycocotools is not available in this
+environment, so ``evaluate_ap`` implements the standard COCO AP for the
+single 'shuttlecock' category directly (greedy score-ordered matching,
+101-point interpolated precision) - same protocol, no native dependency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List
+
+import numpy as np
+import pandas as pd
+from PIL import Image
+
+from ..config import IMG_FORMAT
+from ..utils.io import get_rally_dirs, label_csv_path, parse_rally_dir
+
+
+def convert_gt_to_coco_json(data_dir: str, split: str, drop: bool = False) -> str:
+    """Write {data_dir}/coco_format_gt.json (reference: general.py:356-408)."""
+    drop_dict = None
+    if split == "test" and drop:
+        with open(os.path.join(data_dir, "drop_frame.json")) as f:
+            drop_dict = json.load(f)
+    bbox_size = 10
+    image_info, annotations = [], []
+    sample_count = 0
+    for rd in get_rally_dirs(data_dir, split):
+        rally_dir = os.path.join(data_dir, rd)
+        match_dir, rally_id = parse_rally_dir(rally_dir)
+        match_id = match_dir.split("match")[-1]
+        df = pd.read_csv(label_csv_path(match_dir, rally_id), encoding="utf8")
+        f = df["Frame"].to_numpy()
+        x = df["X"].to_numpy()
+        y = df["Y"].to_numpy()
+        v = df["Visibility"].to_numpy()
+        if drop_dict is not None:
+            key = f"{match_id}_{rally_id}"
+            s, e = drop_dict["start"][key], drop_dict["end"][key]
+            f, x, y, v = f[s:e], x[s:e], y[s:e], v[s:e]
+        with Image.open(os.path.join(rally_dir, f"0.{IMG_FORMAT}")) as im:
+            w, h = im.size
+        for fi, cx, cy, vis in zip(f, x, y, v):
+            image_info.append(
+                {
+                    "id": sample_count,
+                    "width": w,
+                    "height": h,
+                    "file_name": f"{match_dir}/frame/{rally_id}/{fi}.{IMG_FORMAT}",
+                }
+            )
+            if vis > 0:
+                annotations.append(
+                    {
+                        "id": sample_count,
+                        "image_id": sample_count,
+                        "category_id": 1,
+                        "bbox": [
+                            int(cx - bbox_size / 2),
+                            int(cy - bbox_size / 2),
+                            bbox_size,
+                            bbox_size,
+                        ],
+                        "ignore": 0,
+                        "area": bbox_size * bbox_size,
+                        "segmentation": [],
+                        "iscrowd": 0,
+                    }
+                )
+            sample_count += 1
+    coco = {
+        "info": {},
+        "licenses": [],
+        "categories": [{"id": 1, "name": "shuttlecock"}],
+        "images": image_info,
+        "annotations": annotations,
+    }
+    out = os.path.join(data_dir, "coco_format_gt.json")
+    with open(out, "w") as fh:
+        json.dump(coco, fh)
+    return out
+
+
+def get_coco_res(pred_dict: Dict, data_dir: str, drop: bool = False) -> List[Dict]:
+    """Prediction dicts -> COCO detection list (reference: test.py:441-475)."""
+    drop_dict = None
+    if drop:
+        with open(os.path.join(data_dir, "drop_frame.json")) as f:
+            drop_dict = json.load(f)
+    res_list = []
+    sample_count = 0
+    for rally_key, pred in pred_dict.items():
+        pred = {k: list(v) for k, v in pred.items()}
+        if drop_dict is not None:
+            s, e = drop_dict["start"][rally_key], drop_dict["end"][rally_key]
+            for k in pred:
+                pred[k] = pred[k][s:e]
+        for i in range(len(pred["Frame"])):
+            if pred["Visibility"][i] > 0 and "BBox" in pred:
+                res_list.append(
+                    {
+                        "id": sample_count,
+                        "image_id": sample_count,
+                        "category_id": 1,
+                        "bbox": pred["BBox"][i],
+                        "score": pred["Confidence"][i],
+                        "ignore": 0,
+                        "area": pred["BBox"][i][2] * pred["BBox"][i][3],
+                        "segmentation": [],
+                        "iscrowd": 0,
+                    }
+                )
+            sample_count += 1
+    return res_list
+
+
+def _iou(box_a, box_b) -> float:
+    ax, ay, aw, ah = box_a
+    bx, by, bw, bh = box_b
+    ix = max(0.0, min(ax + aw, bx + bw) - max(ax, bx))
+    iy = max(0.0, min(ay + ah, by + bh) - max(ay, by))
+    inter = ix * iy
+    union = aw * ah + bw * bh - inter
+    return inter / union if union > 0 else 0.0
+
+
+def evaluate_ap(gt_json: str, detections: List[Dict], iou_threshold: float) -> float:
+    """Single-class COCO-style AP at one IoU threshold.
+
+    Greedy matching of score-sorted detections to unmatched GT of the same
+    image, 101-point interpolated AP - the COCOeval protocol restricted to
+    one category and one area range.
+    """
+    with open(gt_json) as f:
+        gt = json.load(f)
+    gt_by_image: Dict[int, List] = {}
+    for ann in gt["annotations"]:
+        gt_by_image.setdefault(ann["image_id"], []).append(ann["bbox"])
+    n_gt = sum(len(v) for v in gt_by_image.values())
+    if n_gt == 0:
+        return 0.0
+
+    dets = sorted(detections, key=lambda d: -d["score"])
+    matched: Dict[int, set] = {}
+    tp = np.zeros(len(dets))
+    fp = np.zeros(len(dets))
+    for i, det in enumerate(dets):
+        img = det["image_id"]
+        best_iou, best_j = 0.0, -1
+        for j, g in enumerate(gt_by_image.get(img, [])):
+            if j in matched.get(img, set()):
+                continue
+            iou = _iou(det["bbox"], g)
+            if iou > best_iou:
+                best_iou, best_j = iou, j
+        if best_iou >= iou_threshold and best_j >= 0:
+            tp[i] = 1
+            matched.setdefault(img, set()).add(best_j)
+        else:
+            fp[i] = 1
+
+    ctp = np.cumsum(tp)
+    cfp = np.cumsum(fp)
+    recall = ctp / n_gt
+    precision = ctp / np.maximum(ctp + cfp, 1e-9)
+    # 101-point interpolation
+    ap = 0.0
+    for r in np.linspace(0, 1, 101):
+        p = precision[recall >= r]
+        ap += float(p.max()) if p.size else 0.0
+    return ap / 101.0

@@ -1,0 +1,90 @@
+"""Validation eval loops for both models (reference: test.py:308-438).
+
+``eval_tracknet``: WBCE loss + 5-way confusion over decoded heatmaps.
+Decoding runs on device for the whole batch; GT centers come from the
+analytic disk-center (identical to decoding the GT heatmap, see
+metrics.gt_center_from_label).
+
+``eval_inpaintnet``: masked-MSE loss + three confusions -
+  'inpaint'     refined coords vs ground truth,
+  'reconstruct' refined coords vs the TrackNet prediction,
+  'baseline'    TrackNet prediction vs ground truth.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import HEIGHT, INPAINTNET_EVAL_TYPES, WIDTH
+from ..ops.detect import decode_heatmaps
+from .metrics import (
+    classify_detections,
+    confusion_from_types,
+    gt_center_from_label,
+    metrics_dict,
+)
+
+
+def _dedup_mask(ids: np.ndarray) -> np.ndarray:
+    """True where a frame should be counted: drops consecutive repeats of
+    the same (rally, frame) id within a sample (padding dedup; reference
+    evaluate() prev_d_i logic, test.py:125-210)."""
+    same = np.all(ids[:, 1:] == ids[:, :-1], axis=-1)
+    keep = np.concatenate(
+        [np.ones((ids.shape[0], 1), bool), ~same], axis=1
+    )
+    # After the first repeat the reference breaks out of the sample
+    # entirely; cumulative-AND replicates that.
+    return np.logical_and.accumulate(keep, axis=1)
+
+
+def eval_tracknet(state, eval_step, loader, tolerance: float = 4.0) -> Tuple[float, Dict]:
+    losses = []
+    confusion = np.zeros(5)
+    for batch in loader:
+        loss, probs = eval_step(state, batch)
+        losses.append(float(loss))
+        wins = jnp.moveaxis(probs, -1, 1)  # (B, L, H, W)
+        dec = decode_heatmaps(wins)
+        cx_p = np.asarray(dec["cx"])
+        cy_p = np.asarray(dec["cy"])
+        cxcy = batch["cxcy"]
+        cx_t, cy_t = gt_center_from_label(
+            cxcy[..., 0], cxcy[..., 1], 1.0, 1.0
+        )
+        types = classify_detections(cx_p, cy_p, cx_t, cy_t, tolerance)
+        keep = _dedup_mask(batch["id"])
+        confusion += confusion_from_types(types[keep])
+    return float(np.mean(losses)), metrics_dict(confusion)
+
+
+def eval_inpaintnet(state, eval_step, loader, tolerance: float = 4.0) -> Tuple[float, Dict]:
+    losses = []
+    confusion = {t: np.zeros(5) for t in INPAINTNET_EVAL_TYPES}
+    for batch in loader:
+        loss, coor_inpaint = eval_step(state, batch)
+        losses.append(float(loss))
+        keep = _dedup_mask(batch["id"])
+
+        def centers(c):
+            c = np.asarray(c)
+            return (c[..., 0] * WIDTH).astype(np.int64), (
+                c[..., 1] * HEIGHT
+            ).astype(np.int64)
+
+        ci = centers(coor_inpaint)
+        cg = centers(batch["coor"])
+        cp = centers(batch["coor_pred"])
+        pairs = {
+            "inpaint": (ci, cg),
+            "reconstruct": (ci, cp),
+            "baseline": (cp, cg),
+        }
+        for name, ((cxp, cyp), (cxt, cyt)) in pairs.items():
+            types = classify_detections(cxp, cyp, cxt, cyt, tolerance)
+            confusion[name] += confusion_from_types(types[keep])
+    res = {t: metrics_dict(confusion[t]) for t in INPAINTNET_EVAL_TYPES}
+    return float(np.mean(losses)), res

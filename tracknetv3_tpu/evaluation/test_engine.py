@@ -1,0 +1,413 @@
+"""Rally-based test engine: the `test.py` evaluation surface.
+
+Mirrors the reference flow (reference: test.py:521-906): iterate every
+rally of a split, run TrackNet (heatmap) or TrackNet+InpaintNet
+(coordinate) pipelines in nonoverlap or temporal-ensemble eval modes,
+classify every frame into the 5-way confusion, aggregate with drop-frame
+windowing for the test split, and optionally write per-rally
+``predicted_csv`` files (the InpaintNet training data generator).
+
+TPU-native: rally frames come from the uint8 FrameCache (each PNG decoded
+once, ever); window assembly, forward, ensembling and decoding run as the
+same fused device programs the inference engine uses.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import COOR_TH, HEIGHT, PRED_TYPES, PRED_TYPES_MAP, WIDTH
+from ..data.dataset import FrameCache, build_rally_coordinate_index
+from ..ops.detect import decode_heatmaps
+from ..ops.ensemble import ensemble_chunk, get_ensemble_weight
+from ..ops.postprocess import generate_inpaint_mask, linear_interp
+from ..ops.preprocess import gather_windows, window_channels
+from ..utils.io import (
+    get_rally_dirs,
+    label_csv_path,
+    parse_rally_dir,
+    read_label_csv,
+    write_pred_csv,
+)
+from .metrics import (
+    classify_detections,
+    confusion_from_types,
+    gt_center_from_label,
+    metrics_dict,
+)
+
+
+class RallyTestEngine:
+    """Evaluates rallies with a loaded TrackNet (and optional InpaintNet)."""
+
+    def __init__(
+        self,
+        tracknet,  # (model, variables) or None
+        inpaintnet=None,  # (model, variables) or None
+        *,
+        tracknet_seq_len: int = 8,
+        inpaintnet_seq_len: int = 16,
+        bg_mode: str = "",
+        eval_mode: str = "weight",
+        batch_size: int = 16,
+        tolerance: float = 4.0,
+        num_workers: int = 0,  # accepted for CLI parity; unused (no worker procs)
+    ):
+        self.tracknet = tracknet
+        self.inpaintnet = inpaintnet
+        self.seq_len = tracknet_seq_len
+        self.inpaint_seq_len = inpaintnet_seq_len
+        self.bg_mode = bg_mode
+        self.eval_mode = eval_mode
+        self.batch_size = batch_size
+        self.tolerance = tolerance
+        if eval_mode != "nonoverlap" and tracknet is not None:
+            self._weights = jnp.asarray(get_ensemble_weight(self.seq_len, eval_mode))
+        self._overlap_step = jax.jit(self._overlap_step_impl)
+        self._nonoverlap_step = jax.jit(self._nonoverlap_step_impl)
+        self._inpaint_fwd = jax.jit(self._inpaint_fwd_impl)
+
+    # ------------------------- TrackNet device steps -------------------------
+
+    def _forward_cached(self, rgb, diff, median, starts):
+        """Window assembly from cached resized frames + U-Net forward."""
+        model, variables = self.tracknet
+        L = self.seq_len
+        rgb_w = (
+            gather_windows(rgb.astype(jnp.float32), starts, L)
+            if rgb is not None
+            else None
+        )
+        diff_w = (
+            gather_windows(diff.astype(jnp.float32), starts, L)
+            if diff is not None
+            else None
+        )
+        med = median.astype(jnp.float32) if median is not None else None
+        x = window_channels(rgb_w, diff_w, med, self.bg_mode)
+        probs = model.apply(variables, x, train=False, apply_sigmoid=True)
+        return jnp.moveaxis(probs, -1, 1)  # (B, L, H, W)
+
+    def _overlap_step_impl(self, rgb, diff, median, starts, t0, num_windows):
+        wins = self._forward_cached(rgb, diff, median, starts)
+        frames = ensemble_chunk(wins, self._weights, t0, num_windows)
+        return decode_heatmaps(frames)
+
+    def _nonoverlap_step_impl(self, rgb, diff, median, starts):
+        wins = self._forward_cached(rgb, diff, median, starts)
+        flat = wins.reshape((-1,) + wins.shape[2:])
+        return decode_heatmaps(flat)
+
+    # --------------------------- TrackNet pipeline ---------------------------
+
+    @staticmethod
+    def _pad_bucket(n: int, step: int = 128) -> int:
+        return -(-n // step) * step
+
+    def predict_rally_heatmap(
+        self, cache: FrameCache, rally_dir: str, frame_ids: np.ndarray
+    ) -> Dict[str, np.ndarray]:
+        """Per-frame decoded predictions (input space) for one rally.
+
+        The rally's cached frames are uploaded once (padded to a length
+        bucket so different rallies share compiled programs) and all
+        window assembly/forward/ensemble/decode runs on device in
+        stateless chunks."""
+        rgb_all, diff_all, med = cache.load(rally_dir)
+        need_rgb = self.bg_mode in ("", "subtract_concat", "concat")
+        T = len(frame_ids)
+        L, B = self.seq_len, self.batch_size
+        Tp = self._pad_bucket(T)
+
+        def pad(x):
+            if x.shape[0] == Tp:
+                return x
+            reps = np.repeat(x[-1:], Tp - x.shape[0], axis=0)
+            return np.concatenate([x, reps], axis=0)
+
+        rgb_dev = jnp.asarray(pad(rgb_all[frame_ids])) if need_rgb else None
+        diff_dev = (
+            jnp.asarray(pad(diff_all[frame_ids][..., None]))
+            if diff_all is not None
+            else None
+        )
+        med_dev = jnp.asarray(med) if med is not None else None
+
+        outs = []
+        if self.eval_mode == "nonoverlap":
+            n_win = -(-T // L)
+            for s in range(0, n_win, B):
+                b = min(B, n_win - s)
+                starts = np.minimum(np.arange(s, s + B) * L, max(T - 1, 0))
+                dec = self._nonoverlap_step(
+                    rgb_dev, diff_dev, med_dev, jnp.asarray(starts, jnp.int32)
+                )
+                outs.append((dec, b * L))
+            # gather_windows clips starts+j at T-1... but the buffer is
+            # padded with repeats of the last frame, giving the same
+            # repeat-last-frame padding as the reference dataset.
+        else:
+            S = max(T - L + 1, 1)
+            for t0 in range(0, T, B):
+                starts = np.clip(np.arange(t0 - L + 1, t0 + B), 0, T - 1)
+                dec = self._overlap_step(
+                    rgb_dev,
+                    diff_dev,
+                    med_dev,
+                    jnp.asarray(starts, jnp.int32),
+                    jnp.int32(t0),
+                    jnp.int32(S),
+                )
+                outs.append((dec, min(B, T - t0)))
+
+        cx = np.concatenate([np.asarray(d["cx"]).reshape(-1)[:n] for d, n in outs])
+        cy = np.concatenate([np.asarray(d["cy"]).reshape(-1)[:n] for d, n in outs])
+        conf = np.concatenate([np.asarray(d["conf"]).reshape(-1)[:n] for d, n in outs])
+        bbox = np.concatenate(
+            [np.asarray(d["bbox"]).reshape(-1, 4)[:n] for d, n in outs]
+        )
+        return {
+            "cx": cx[:T],
+            "cy": cy[:T],
+            "conf": conf[:T],
+            "bbox": bbox[:T],
+        }
+
+    # --------------------------- InpaintNet pipeline -------------------------
+
+    def _inpaint_fwd_impl(self, cw, mw):
+        model, variables = self.inpaintnet
+        out = model.apply(variables, cw, mw)
+        out = out * mw + cw * (1.0 - mw)
+        th = (out[..., 0] < COOR_TH) & (out[..., 1] < COOR_TH)
+        return jnp.where(th[..., None], 0.0, out)
+
+    def predict_rally_coordinate(self, rally_dir: str) -> Dict[str, np.ndarray]:
+        """InpaintNet refinement over a rally's predicted_csv trajectory.
+
+        Returns per-frame normalized refined coords plus the GT/pred
+        references needed for classification."""
+        match_dir, rally_id = parse_rally_dir(rally_dir)
+        data = build_rally_coordinate_index(
+            "", rally_dir, 0, self.inpaint_seq_len,
+            1 if self.eval_mode != "nonoverlap" else self.inpaint_seq_len,
+            padding=self.eval_mode == "nonoverlap",
+        )
+        csv_file = os.path.join(match_dir, "predicted_csv", f"{rally_id}_ball.csv")
+        df = read_label_csv(csv_file)
+        T = len(df)
+        L = self.inpaint_seq_len
+        norm = np.asarray([WIDTH, HEIGHT], np.float32)
+
+        S = len(data["id"])
+        pad_S = self._pad_bucket(max(S + L - 1, 1), 64)
+        cwin = data["coor_pred"] / norm
+        mwin = data["inpaint_mask"][..., None]
+        if S < pad_S:
+            z = lambda a: np.concatenate(  # noqa: E731
+                [a, np.zeros((pad_S - S,) + a.shape[1:], a.dtype)], axis=0
+            )
+            cwin, mwin = z(cwin), z(mwin)
+        out = self._inpaint_fwd(jnp.asarray(cwin), jnp.asarray(mwin))
+
+        if self.eval_mode == "nonoverlap":
+            ids = data["id"][..., 1].reshape(-1)
+            flat = np.asarray(out)[:S].reshape(-1, 2)
+            # dedup padded repeats (keep first occurrence per frame pos)
+            _, first = np.unique(ids, return_index=True)
+            refined = flat[np.sort(first)][:T]
+        else:
+            w = jnp.asarray(get_ensemble_weight(L, self.eval_mode))
+            lead = jnp.zeros((L - 1, L, 2))
+            wins = jnp.concatenate([lead, out], axis=0)
+            ens = ensemble_chunk(wins, w, jnp.int32(0), jnp.int32(S))
+            th = (ens[..., 0] < COOR_TH) & (ens[..., 1] < COOR_TH)
+            refined = np.asarray(jnp.where(th[..., None], 0.0, ens))[:T]
+
+        return {
+            "refined": refined,  # (T, 2) normalized by (WIDTH, HEIGHT)
+            "coor_gt": df[["X_GT", "Y_GT"]].to_numpy(np.float32) / norm,
+            "coor_pred": df[["X", "Y"]].to_numpy(np.float32) / norm,
+            "frame": df["Frame"].to_numpy(np.int64),
+        }
+
+    # ------------------------------ test_rally ------------------------------
+
+    def test_rally(
+        self,
+        data_dir: str,
+        rally_dir: str,
+        cache: FrameCache,
+        save_inpaint_mask: bool = False,
+        output_bbox: bool = False,
+        output_gt: bool = False,
+    ) -> Dict[str, list]:
+        match_dir, rally_id = parse_rally_dir(rally_dir)
+        df = read_label_csv(label_csv_path(match_dir, rally_id))
+        from PIL import Image
+
+        with Image.open(os.path.join(rally_dir, "0.png")) as im:
+            w, h = im.size
+        if save_inpaint_mask:
+            w_s, h_s = 1.0, 1.0
+        else:
+            w_s, h_s = w / WIDTH, h / HEIGHT
+
+        if self.inpaintnet is None:
+            frame_ids = df["Frame"].to_numpy(np.int64)
+            dec = self.predict_rally_heatmap(cache, rally_dir, frame_ids)
+            cx_t, cy_t = gt_center_from_label(
+                df["X"].to_numpy(), df["Y"].to_numpy(), w / WIDTH, h / HEIGHT
+            )
+            types = classify_detections(
+                dec["cx"], dec["cy"], cx_t, cy_t, self.tolerance
+            )
+            vis = (np.maximum(dec["cx"], dec["cy"]) > 0).astype(int)
+            pred = {
+                "Frame": list(range(len(frame_ids))),
+                "X": [int(v * w_s) for v in dec["cx"]],
+                "Y": [int(v * h_s) for v in dec["cy"]],
+                "Visibility": vis.tolist(),
+                "Type": types.tolist(),
+            }
+            if output_bbox:
+                pred["BBox"] = [
+                    [
+                        int(b[0] * w_s),
+                        int(b[1] * h_s),
+                        int(b[2] * w_s),
+                        int(b[3] * h_s),
+                    ]
+                    for b in dec["bbox"]
+                ]
+                pred["Confidence"] = [float(c) for c in dec["conf"]]
+            if output_gt or save_inpaint_mask:
+                vis_gt = (np.maximum(cx_t, cy_t) > 0).astype(int)
+                pred["X_GT"] = [int(v * w_s) for v in cx_t]
+                pred["Y_GT"] = [int(v * h_s) for v in cy_t]
+                pred["Visibility_GT"] = vis_gt.tolist()
+            pred["Inpaint_Mask"] = generate_inpaint_mask(pred, th_h=30)
+            return pred
+        else:
+            out = self.predict_rally_coordinate(rally_dir)
+            cx_p = (out["refined"][:, 0] * WIDTH).astype(np.int64)
+            cy_p = (out["refined"][:, 1] * HEIGHT).astype(np.int64)
+            cx_t = (out["coor_gt"][:, 0] * WIDTH).astype(np.int64)
+            cy_t = (out["coor_gt"][:, 1] * HEIGHT).astype(np.int64)
+            types = classify_detections(cx_p, cy_p, cx_t, cy_t, self.tolerance)
+            vis = (np.maximum(cx_p, cy_p) > 0).astype(int)
+            return {
+                "Frame": list(range(len(cx_p))),
+                "X": [int(v * w_s) for v in cx_p],
+                "Y": [int(v * h_s) for v in cy_p],
+                "Visibility": vis.tolist(),
+                "Type": types.tolist(),
+            }
+
+    def test_rally_linear(
+        self, data_dir: str, rally_dir: str, cache: FrameCache
+    ) -> Dict[str, list]:
+        """Linear-interpolation baseline (reference: test.py:794-906)."""
+        match_dir, rally_id = parse_rally_dir(rally_dir)
+        pred = self.test_rally(data_dir, rally_dir, cache, save_inpaint_mask=False)
+        # test_rally returns original-space X/Y; rebuild input-space coords.
+        df = read_label_csv(label_csv_path(match_dir, rally_id))
+        from PIL import Image
+
+        with Image.open(os.path.join(rally_dir, "0.png")) as im:
+            w, h = im.size
+        w_s, h_s = w / WIDTH, h / HEIGHT
+
+        x_in = np.asarray(pred["X"], np.float64) / w_s
+        y_in = np.asarray(pred["Y"], np.float64) / h_s
+        mask = pred["Inpaint_Mask"]
+        x_interp = linear_interp(x_in, mask)
+        y_interp = linear_interp(y_in, mask)
+
+        cx_t = (df["X"].to_numpy(np.float64) / w * WIDTH).astype(np.int64)
+        cy_t = (df["Y"].to_numpy(np.float64) / h * HEIGHT).astype(np.int64)
+        cx_p = x_interp.astype(np.int64)
+        cy_p = y_interp.astype(np.int64)
+        types = classify_detections(cx_p, cy_p, cx_t, cy_t, self.tolerance)
+        vis = (np.maximum(cx_p, cy_p) > 0).astype(int)
+        return {
+            "Frame": list(range(len(cx_p))),
+            "X": [int(v * w_s) for v in cx_p],
+            "Y": [int(v * h_s) for v in cy_p],
+            "Visibility": vis.tolist(),
+            "Type": types.tolist(),
+        }
+
+    # -------------------------------- test ----------------------------------
+
+    def test(
+        self,
+        data_dir: str,
+        split: str,
+        save_inpaint_mask: bool = False,
+        use_linear_interp: bool = False,
+        output_bbox: bool = False,
+        output_gt: bool = False,
+        debug: bool = False,
+        verbose: bool = False,
+    ) -> Dict[str, Dict]:
+        pred_dict = {}
+        rally_dirs = [
+            os.path.join(data_dir, rd) for rd in get_rally_dirs(data_dir, split)
+        ]
+        if debug:
+            rally_dirs = rally_dirs[:1]
+        cache = FrameCache(data_dir, self.bg_mode)
+        for rally_dir in rally_dirs:
+            match_dir, rally_id = parse_rally_dir(rally_dir)
+            match_id = match_dir.split("match")[-1]
+            rally_key = f"{match_id}_{rally_id}"
+            if verbose:
+                print(f"  rally {rally_key}")
+            if use_linear_interp:
+                pred = self.test_rally_linear(data_dir, rally_dir, cache)
+            else:
+                pred = self.test_rally(
+                    data_dir,
+                    rally_dir,
+                    cache,
+                    save_inpaint_mask=save_inpaint_mask,
+                    output_bbox=output_bbox,
+                    output_gt=output_gt,
+                )
+            pred_dict[rally_key] = pred
+            if save_inpaint_mask:
+                out_dir = os.path.join(match_dir, "predicted_csv")
+                os.makedirs(out_dir, exist_ok=True)
+                write_pred_csv(
+                    pred,
+                    os.path.join(out_dir, f"{rally_id}_ball.csv"),
+                    save_inpaint_mask=True,
+                )
+        return pred_dict
+
+
+def get_test_res(pred_dict: Dict, data_dir: str, drop: bool = False) -> Dict:
+    """Aggregate the 5-way confusion over rallies, with optional drop-frame
+    windowing (reference: test.py:477-519)."""
+    res = {t: 0 for t in PRED_TYPES}
+    drop_dict = None
+    if drop:
+        with open(os.path.join(data_dir, "drop_frame.json")) as f:
+            drop_dict = json.load(f)
+    for rally_key, pred in pred_dict.items():
+        types = np.asarray(pred["Type"])
+        if drop_dict is not None:
+            s = drop_dict["start"][rally_key]
+            e = drop_dict["end"][rally_key]
+            types = types[s:e]
+        for t in PRED_TYPES:
+            res[t] += int((types == PRED_TYPES_MAP[t]).sum())
+    confusion = np.asarray([res[t] for t in PRED_TYPES], np.float64)
+    return metrics_dict(confusion)

@@ -28,8 +28,14 @@ def get_model(
     *,
     rng: Optional[jax.Array] = None,
     compute_dtype: Any = jnp.bfloat16,
+    init_params: bool = True,
 ) -> Tuple[Any, Any]:
-    """Create a model and its initial variables by name and configuration."""
+    """Create a model and its initial variables by name and configuration.
+
+    With ``init_params=False`` only the variable *structure* is produced
+    (via ``jax.eval_shape`` - no compile, no device work); use it when the
+    real weights come from a checkpoint.
+    """
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
@@ -37,14 +43,22 @@ def get_model(
         assert seq_len is not None, "TrackNet requires seq_len"
         in_ch = tracknet_in_channels(seq_len, bg_mode or "")
         model = TrackNet(out_dim=seq_len, dtype=compute_dtype)
-        dummy = jnp.zeros((1, HEIGHT, WIDTH, in_ch), jnp.float32)
-        variables = jax.jit(lambda: model.init(rng, dummy, train=False))()
-        return model, variables
-    if model_name == "InpaintNet":
+        # init at reduced spatial size (divisible by the 3 pooling levels):
+        # conv/BN parameter shapes do not depend on H/W, so this avoids a
+        # full-resolution init program.
+        dummy = jnp.zeros((1, 32, 64, in_ch), jnp.float32)
+        init_fn = lambda: model.init(rng, dummy, train=False)  # noqa: E731
+    elif model_name == "InpaintNet":
         model = InpaintNet()
         L = seq_len or 16
         coords = jnp.zeros((1, L, 2), jnp.float32)
         mask = jnp.zeros((1, L, 1), jnp.float32)
-        variables = jax.jit(lambda: model.init(rng, coords, mask))()
-        return model, variables
-    raise ValueError(f"Invalid model name: {model_name!r}")
+        init_fn = lambda: model.init(rng, coords, mask)  # noqa: E731
+    else:
+        raise ValueError(f"Invalid model name: {model_name!r}")
+
+    if init_params:
+        variables = jax.jit(init_fn)()
+    else:
+        variables = jax.eval_shape(init_fn)
+    return model, variables

@@ -47,23 +47,6 @@ def _dilate3x3(mask: jax.Array) -> jax.Array:
     )
 
 
-def _flood_fill(seed: jax.Array, mask: jax.Array, max_iters: int) -> jax.Array:
-    """Grow ``seed`` inside ``mask`` until fixpoint (both float32 {0,1} maps)."""
-
-    def cond(carry):
-        _, grew, it = carry
-        return jnp.logical_and(grew, it < max_iters)
-
-    def body(carry):
-        region, _, it = carry
-        new_region = jnp.minimum(_dilate3x3(region), mask)
-        grew = jnp.sum(new_region) > jnp.sum(region)
-        return new_region, grew, it + 1
-
-    region, _, _ = jax.lax.while_loop(cond, body, (seed, jnp.bool_(True), 0))
-    return region
-
-
 def _bbox_of(region: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """(x, y, w, h) bounding box of a {0,1} region; zeros if empty."""
     h, w = region.shape
@@ -85,37 +68,61 @@ def _bbox_of(region: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Ar
 
 
 def _decode_one(
-    probs: jax.Array, threshold: float, max_iters: int
+    probs: jax.Array, threshold: float, max_iters: int, crop: int = 64
 ) -> Dict[str, jax.Array]:
-    """Decode a single (H, W) float32 heatmap."""
+    """Decode a single (H, W) float32 heatmap.
+
+    The flood fill runs inside a ``crop`` x ``crop`` window around the
+    global argmax with a STATIC iteration count: on TPU a data-dependent
+    ``while_loop`` over full-resolution dilations is pathologically slow,
+    while crop-local fori_loop dilations are essentially free. Ball blobs
+    are a few pixels wide, so the crop never truncates them in practice;
+    components larger than the crop are clipped to it (the exact-rule host
+    decoder in native/ has no such bound).
+    """
     h, w = probs.shape
-    mask = (probs > threshold).astype(jnp.float32)
-    has_any = jnp.sum(mask) > 0
+    crop = min(crop, h, w)
 
     flat_idx = jnp.argmax(probs.reshape(-1))
-    seed_r = flat_idx // w
-    seed_c = flat_idx % w
+    seed_r = (flat_idx // w).astype(jnp.int32)
+    seed_c = (flat_idx % w).astype(jnp.int32)
+    r0 = jnp.clip(seed_r - crop // 2, 0, h - crop)
+    c0 = jnp.clip(seed_c - crop // 2, 0, w - crop)
+    win = jax.lax.dynamic_slice(probs, (r0, c0), (crop, crop))
+
+    mask = (win > threshold).astype(jnp.float32)
+    has_any = jnp.max(probs) > threshold
+
     seed = (
-        jnp.zeros((h, w), jnp.float32)
-        .at[seed_r, seed_c]
+        jnp.zeros((crop, crop), jnp.float32)
+        .at[seed_r - r0, seed_c - c0]
         .set(1.0)
     )
     seed = seed * mask  # if the argmax is sub-threshold the map is empty
 
-    region = _flood_fill(seed, mask, max_iters)
+    # Static-count dilation: the region can grow at most 1 px/step, and a
+    # blob within the crop is reached from its peak in <= crop steps.
+    iters = min(max_iters, crop)
+
+    def body(_, region):
+        return jnp.minimum(_dilate3x3(region), mask)
+
+    region = jax.lax.fori_loop(0, iters, body, seed)
     x, y, bw, bh = _bbox_of(region)
+    x = x + c0
+    y = y + r0
 
     # Center per the reference rule: int(x + w/2) with truncating int cast.
     cx = x + bw // 2
     cy = y + bh // 2
 
     # Confidence: max raw probability inside the bbox (reference test.py:166).
-    row_idx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    col_idx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (crop, crop), 0) + r0
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (crop, crop), 1) + c0
     in_bbox = (
         (row_idx >= y) & (row_idx < y + bh) & (col_idx >= x) & (col_idx < x + bw)
     )
-    conf = jnp.max(jnp.where(in_bbox, probs, 0.0))
+    conf = jnp.max(jnp.where(in_bbox, win, 0.0))
 
     zero = jnp.int32(0)
     valid = has_any
@@ -158,13 +165,22 @@ def decode_heatmaps(
     }
 
 
-def decode_heatmaps_host(probs: np.ndarray, threshold: float = 0.5) -> Dict[str, np.ndarray]:
+def decode_heatmaps_host(
+    probs: np.ndarray, threshold: float = 0.5, use_native: bool = True
+) -> Dict[str, np.ndarray]:
     """Exact reference-rule decoder on the host (largest-bbox-area blob).
 
-    Uses the native connected-components library (see ``native/``) when
-    built, else scipy.ndimage. Intended for A/B parity checks against
+    Uses the native C++ connected-components library (see ``native/``)
+    when built, else scipy.ndimage. Intended for A/B parity checks against
     ``decode_heatmaps`` and for bit-exact evaluation replication.
     """
+    if use_native:
+        from ..native_ccl import decode_heatmaps_native
+
+        out = decode_heatmaps_native(np.asarray(probs, np.float32), threshold)
+        if out is not None:
+            return out
+
     from scipy import ndimage
 
     probs = np.asarray(probs)

@@ -6,12 +6,16 @@ anti-diagonally. The reference implements this with a Python loop over a
 growing CPU tensor buffer per batch element (reference: test.py:637-692,
 predict.py:163-209) - quadratic torch.cat churn and completely off-device.
 
-TPU-native design: the ensemble is a **ring-buffer scan**. State is O(L)
-frames; each window's contribution lands on the ring with a single
-``jnp.roll``; frame ``t`` is finalized exactly when window ``t`` has been
-accumulated. The whole update for a batch of windows is one ``lax.scan``
-inside ``jit`` - it fuses with the network forward pass and the decoder so
-ensembled frames never leave the device.
+TPU-native design: the ensemble is expressed entirely as STATIC slice
+arithmetic. State carries the last L-1 window outputs; a batch update
+concatenates the new windows and computes, for every finalized frame,
+
+    out[t] = sum_j weight[L-1-j] * buf[t - j, j]      (anti-diagonal)
+
+as L static slices of the buffer - no scan, no gather, no scatter. (An
+earlier formulation used a ring buffer with traced-shift ``jnp.roll`` +
+scatter inside ``lax.scan``; that lowered to a pathological program on
+TPU - 1.3 s per batch vs ~1 ms for this form.)
 
 Semantics match the reference exactly:
   - warm-up (first L-1 frames): unweighted mean over the windows seen so
@@ -51,80 +55,96 @@ def get_ensemble_weight(seq_len: int, eval_mode: str) -> np.ndarray:
 
 
 class EnsembleState(NamedTuple):
-    """Ring-buffer state; slot ``t % L`` accumulates frame ``t``."""
+    """Carried state: the last L-1 window outputs (zeros before the first
+    window / for padded windows) and the index of the next frame to
+    finalize (== number of real windows consumed)."""
 
-    acc_w: jax.Array  # (L, *frame_shape) weighted accumulator
-    acc_u: jax.Array  # (L, *frame_shape) unweighted accumulator
-    count: jax.Array  # (L,) windows accumulated into each slot
-    next_frame: jax.Array  # scalar int32: next frame index to finalize
+    tail: jax.Array  # (L-1, L, *frame_shape) float32
+    next_frame: jax.Array  # scalar int32
 
 
 def ensemble_init(seq_len: int, frame_shape: Tuple[int, ...]) -> EnsembleState:
-    shape = (seq_len,) + tuple(frame_shape)
+    shape = (seq_len - 1, seq_len) + tuple(frame_shape)
     return EnsembleState(
-        acc_w=jnp.zeros(shape, jnp.float32),
-        acc_u=jnp.zeros(shape, jnp.float32),
-        count=jnp.zeros((seq_len,), jnp.float32),
+        tail=jnp.zeros(shape, jnp.float32),
         next_frame=jnp.int32(0),
     )
 
 
-def _expand(v: jax.Array, ndim: int) -> jax.Array:
-    """Reshape (L,) to (L, 1, 1, ...) for broadcasting over frame dims."""
+def _bshape(v: jax.Array, ndim: int) -> jax.Array:
+    """Reshape (B,) to (B, 1, 1, ...) for broadcasting over frame dims."""
     return v.reshape(v.shape + (1,) * (ndim - 1))
 
 
 @partial(jax.jit, donate_argnums=(0,))
-def ensemble_update(
-    state: EnsembleState, window_preds: jax.Array, weights: jax.Array
+def ensemble_update_masked(
+    state: EnsembleState,
+    window_preds: jax.Array,
+    weights: jax.Array,
+    n_valid: jax.Array,
 ) -> Tuple[EnsembleState, jax.Array]:
-    """Accumulate a batch of consecutive windows; emit one frame per window.
+    """Consume a batch of consecutive windows; emit one frame per window.
+
+    Only the first ``n_valid`` windows are real; padded windows neither
+    contribute nor advance the frame counter (their emitted frames are
+    garbage and must be discarded by the caller). This lets the final
+    short chunk of a video reuse the same compiled program.
 
     Args:
-        state: current ring state.
-        window_preds: (B, L, *frame_shape) float32 window outputs; window
-            ``b`` of this call is global window ``state.next_frame + b``.
+        state: carried tail of the previous L-1 window outputs.
+        window_preds: (B, L, *frame_shape); window ``b`` of this call is
+            global window ``state.next_frame + b``.
         weights: (L,) ensemble weights summing to 1.
 
     Returns:
-        (new_state, frames) where frames has shape (B, *frame_shape):
-        the finalized predictions for frames next_frame..next_frame+B-1.
+        (new_state, frames) with frames (B, *frame_shape): finalized
+        predictions for frames next_frame .. next_frame+B-1.
     """
-    L = state.acc_w.shape[0]
-    ndim = state.acc_w.ndim
-    # Weight for the contribution at window offset j is weights[L-1-j].
-    w_by_offset = weights[::-1].astype(jnp.float32)
+    B, L = window_preds.shape[0], window_preds.shape[1]
+    fdims = window_preds.ndim - 1  # L axis + frame dims
+    wp = window_preds.astype(jnp.float32)
+    valid = (jnp.arange(B) < n_valid).astype(jnp.float32)
+    wp = wp * valid.reshape((B,) + (1,) * fdims)
 
-    def step(carry, y):
-        acc_w, acc_u, count, t = carry
-        shift = jnp.mod(t, L)
-        # Route offset-j contribution to slot (t + j) % L == roll by t % L.
-        contrib_u = jnp.roll(y, shift, axis=0)
-        contrib_w = jnp.roll(y * _expand(w_by_offset, ndim), shift, axis=0)
-        acc_w = acc_w + contrib_w
-        acc_u = acc_u + contrib_u
-        count = count + 1.0
+    buf = jnp.concatenate([state.tail, wp], axis=0)  # (L-1+B, L, *fs)
 
-        # Finalize frame t living at slot t % L.
-        slot = shift
-        warm = t < (L - 1)
-        frame = jnp.where(
-            warm,
-            acc_u[slot] / jnp.maximum(count[slot], 1.0),
-            acc_w[slot],
-        )
-        # Reset the slot for frame t + L.
-        acc_w = acc_w.at[slot].set(0.0)
-        acc_u = acc_u.at[slot].set(0.0)
-        count = count.at[slot].set(0.0)
-        return (acc_w, acc_u, count, t + 1), frame
+    # Frame t (batch row b, buf row b+L-1) takes buf[b+L-1-j, j] with
+    # weight weights[L-1-j] -- L static slices along the window axis.
+    w_rev = weights[::-1].astype(jnp.float32)
+    out_w = None
+    out_u = None
+    for j in range(L):
+        contrib = buf[L - 1 - j : L - 1 - j + B, j]
+        out_u = contrib if out_u is None else out_u + contrib
+        wc = contrib * w_rev[j]
+        out_w = wc if out_w is None else out_w + wc
 
-    (acc_w, acc_u, count, t), frames = jax.lax.scan(
-        step,
-        (state.acc_w, state.acc_u, state.count, state.next_frame),
-        window_preds.astype(jnp.float32),
+    t = state.next_frame + jnp.arange(B)
+    cnt = jnp.minimum(t + 1, L).astype(jnp.float32)
+    warm = t < (L - 1)
+    frames = jnp.where(
+        _bshape(warm, out_u.ndim),
+        out_u / _bshape(cnt, out_u.ndim),
+        out_w,
     )
-    return EnsembleState(acc_w, acc_u, count, t), frames
+
+    # New tail: the L-1 window outputs preceding the next unfinalized
+    # frame. With a full batch that is buf[B:]; with padding it starts at
+    # n_valid (padded rows are zeros, matching "window does not exist").
+    new_tail = jax.lax.dynamic_slice_in_dim(buf, n_valid, L - 1, axis=0)
+    return (
+        EnsembleState(new_tail, state.next_frame + n_valid.astype(jnp.int32)),
+        frames,
+    )
+
+
+def ensemble_update(
+    state: EnsembleState, window_preds: jax.Array, weights: jax.Array
+) -> Tuple[EnsembleState, jax.Array]:
+    """Accumulate a full batch of consecutive windows (no padding)."""
+    return ensemble_update_masked(
+        state, window_preds, weights, jnp.int32(window_preds.shape[0])
+    )
 
 
 @jax.jit
@@ -132,14 +152,76 @@ def ensemble_flush(state: EnsembleState) -> jax.Array:
     """Emit the tail frames S..S+L-2 after the last window S-1.
 
     Returns (L-1, *frame_shape): unweighted means over the windows that
-    covered each tail frame (empty slots produce zero frames; callers know
-    the true tail length is L-1).
+    covered each tail frame (reference: test.py:670-680). Row k is frame
+    S+k; rows beyond the true frame count are zero/garbage and must be
+    trimmed by the caller.
     """
-    L = state.acc_w.shape[0]
-    slots = jnp.mod(state.next_frame + jnp.arange(L - 1), L)
-    acc = state.acc_u[slots]
-    cnt = state.count[slots]
-    return acc / jnp.maximum(_expand(cnt, acc.ndim), 1.0)
+    L = state.tail.shape[1]
+    S = state.next_frame
+    # tail[i] holds window S-L+1+i (zeros if that window does not exist).
+    # Tail frame S+k takes tail[i, k+L-1-i] for i in [k, L-2].
+    outs = []
+    for k in range(L - 1):
+        acc = None
+        for i in range(k, L - 1):
+            c = state.tail[i, k + L - 1 - i]
+            acc = c if acc is None else acc + c
+        cnt = jnp.minimum(jnp.float32(L - 1 - k), S.astype(jnp.float32))
+        outs.append(acc / jnp.maximum(cnt, 1.0))
+    return jnp.stack(outs, axis=0)
+
+
+def ensemble_chunk(
+    window_preds: jax.Array,
+    weights: jax.Array,
+    t0: jax.Array,
+    num_windows: jax.Array,
+) -> jax.Array:
+    """Stateless chunked ensemble: finalize B frames from B+L-1 windows.
+
+    The preferred TPU form: instead of carrying window outputs across
+    calls, each chunk recomputes the L-1 boundary windows, so a call has
+    no large state in or out (this runtime handles big carried buffers
+    poorly) and warm-up/steady/tail all collapse into one formula.
+
+    Args:
+        window_preds: (B+L-1, L, *fs); row k is the output of global
+            window ``t0 - L + 1 + k`` (contents for out-of-range windows
+            are arbitrary - they are masked here).
+        weights: (L,) ensemble weights.
+        t0: global index of the first frame this chunk finalizes.
+        num_windows: S, the total number of real windows (= T - L + 1).
+
+    Returns:
+        (B, *fs) finalized frames t0 .. t0+B-1 (rows for frames beyond
+        S+L-2 are garbage; the caller trims).
+    """
+    nwin, L = window_preds.shape[0], window_preds.shape[1]
+    B = nwin - (L - 1)
+    wp = window_preds.astype(jnp.float32)
+    w_global = t0 - (L - 1) + jnp.arange(nwin)
+    valid = ((w_global >= 0) & (w_global < num_windows)).astype(jnp.float32)
+    wp = wp * valid.reshape((nwin,) + (1,) * (wp.ndim - 1))
+
+    w_rev = weights[::-1].astype(jnp.float32)
+    out_w = None
+    out_u = None
+    for j in range(L):
+        contrib = wp[L - 1 - j : L - 1 - j + B, j]
+        out_u = contrib if out_u is None else out_u + contrib
+        wc = contrib * w_rev[j]
+        out_w = wc if out_w is None else out_w + wc
+
+    t = t0 + jnp.arange(B)
+    # windows covering frame t: [max(0, t-L+1), min(t, S-1)]
+    cnt = jnp.minimum(t, num_windows - 1) - jnp.maximum(0, t - L + 1) + 1
+    cnt = jnp.maximum(cnt, 1).astype(jnp.float32)
+    steady = (t >= L - 1) & (t < num_windows)
+    return jnp.where(
+        _bshape(steady, out_u.ndim),
+        out_w,
+        out_u / _bshape(cnt, out_u.ndim),
+    )
 
 
 def ensemble_offline(window_preds: jax.Array, weights: jax.Array) -> jax.Array:

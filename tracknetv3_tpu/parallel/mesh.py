@@ -1,0 +1,71 @@
+"""Data-parallel device mesh + sharding helpers.
+
+The reference is strictly single-device (every placement is a bare
+``.cuda()``; see SURVEY.md section 2 "Parallelism"). Here data parallelism
+is a first-class capability: a 1-D ``Mesh`` over the ``data`` axis, the
+batch sharded across it, parameters/optimizer state replicated. Under
+``jit`` XLA GSPMD then:
+
+  - partitions the conv forward/backward across chips,
+  - inserts ICI all-reduces for the gradient sum,
+  - computes BatchNorm batch statistics *globally* (the batch-axis mean
+    of a sharded array is an all-reduce) - i.e. sync-BN semantics for
+    free, mathematically cleaner than the reference's per-device stats.
+
+Multi-host extension: the same mesh spans processes when
+``jax.distributed.initialize`` has been called; nothing else changes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_devices: Optional[int] = None, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    if num_devices is not None:
+        if num_devices > len(devices):
+            raise ValueError(
+                f"Requested {num_devices} devices, only {len(devices)} available"
+            )
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), axis_names=("data",))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) axis split across the data mesh axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """device_put a pytree of host arrays with the batch axis sharded."""
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate_tree(tree: Any, mesh: Mesh) -> Any:
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def pad_batch_to(batch: Any, target: int) -> Any:
+    """Pad every leaf's leading axis to ``target`` by repeating the last
+    element (so batch sizes stay divisible by the mesh width)."""
+
+    def pad(x):
+        n = x.shape[0]
+        if n == target:
+            return x
+        reps = np.repeat(x[-1:], target - n, axis=0)
+        return np.concatenate([x, reps], axis=0)
+
+    return jax.tree_util.tree_map(pad, batch)

@@ -1,0 +1,202 @@
+"""Training orchestrator: epochs, eval, checkpointing, resume.
+
+Mirrors the reference training flow (reference: train.py:180-307):
+train split with sliding_step=1, val split with sliding_step=seq_len,
+per-epoch eval, TensorBoard scalars, best/current checkpoints keyed on
+val accuracy, and resume-from-``{model}_cur.pt`` with the param_dict
+override contract (CLI args are replaced by the checkpoint's config
+except epochs/verbose/resume flags; reference train.py:217-226).
+
+TPU-native: the train step is one jitted program; with ``num_devices`` > 1
+batches are sharded over a data mesh (see parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from ..config import TrainConfig
+from ..data.dataset import (
+    CoordinateBatchLoader,
+    HeatmapBatchLoader,
+    build_split_index,
+)
+from ..evaluation.loops import eval_inpaintnet, eval_tracknet
+from ..models import get_model
+from ..parallel.mesh import make_mesh, replicate_tree, shard_batch
+from ..utils.visualize import ScalarLogger, write_to_tb
+from .checkpoint import load_checkpoint, save_checkpoint
+from .optim import build_optimizer
+from .steps import (
+    TrainState,
+    create_train_state,
+    make_inpaintnet_eval_step,
+    make_inpaintnet_train_step,
+    make_tracknet_eval_step,
+    make_tracknet_train_step,
+)
+
+
+def train(config: TrainConfig, data_dir: str = "data", verbose_print=print) -> Dict[str, Any]:
+    cfg = config
+    os.makedirs(cfg.save_dir, exist_ok=True)
+
+    # ----- resume: restore the checkpointed config (reference contract) -----
+    ckpt = None
+    cur_path = os.path.join(cfg.save_dir, f"{cfg.model_name}_cur.pt")
+    if cfg.resume_training:
+        assert os.path.exists(cur_path), f"No checkpoint found in {cfg.save_dir}"
+        ckpt = load_checkpoint(cur_path)
+        restored = TrainConfig.from_param_dict(ckpt["param_dict"])
+        restored.resume_training = True
+        restored.epochs = cfg.epochs
+        restored.verbose = cfg.verbose
+        cfg = restored
+
+    param_dict = cfg.to_param_dict()
+    verbose_print(f"Parameters: {param_dict}")
+
+    np.random.seed(cfg.seed)
+    rng = jax.random.PRNGKey(cfg.seed)
+
+    logger = ScalarLogger(os.path.join(cfg.save_dir, "logs"))
+
+    # ----- data -----
+    data_mode = "heatmap" if cfg.model_name == "TrackNet" else "coordinate"
+    train_index = build_split_index(
+        data_dir, "train", cfg.seq_len, 1, data_mode, debug=cfg.debug
+    )
+    val_index = build_split_index(
+        data_dir, "val", cfg.seq_len, cfg.seq_len, data_mode, debug=cfg.debug
+    )
+    if cfg.model_name == "TrackNet":
+        train_loader = HeatmapBatchLoader(
+            train_index,
+            cfg.bg_mode,
+            cfg.batch_size,
+            shuffle=True,
+            drop_last=True,
+            seed=cfg.seed,
+            data_dir=data_dir,
+            frame_alpha=cfg.frame_alpha,
+        )
+        val_loader = HeatmapBatchLoader(
+            val_index, cfg.bg_mode, cfg.batch_size, data_dir=data_dir
+        )
+    else:
+        train_loader = CoordinateBatchLoader(
+            train_index, cfg.batch_size, shuffle=True, drop_last=True, seed=cfg.seed
+        )
+        val_loader = CoordinateBatchLoader(val_index, cfg.batch_size)
+    steps_per_epoch = max(len(train_loader), 1)
+    verbose_print(
+        f"Dataset: {len(train_index)} train / {len(val_index)} val windows"
+    )
+
+    # ----- model + optimizer -----
+    model, variables = get_model(
+        cfg.model_name, cfg.seq_len, cfg.bg_mode, rng=rng
+    )
+    tx = build_optimizer(
+        cfg.optim,
+        cfg.learning_rate,
+        cfg.lr_scheduler,
+        cfg.epochs,
+        steps_per_epoch,
+        clip_norm=1.0 if cfg.model_name == "InpaintNet" else None,
+    )
+    state = create_train_state(variables, tx)
+
+    if cfg.model_name == "TrackNet":
+        train_step = make_tracknet_train_step(model, tx, cfg.bg_mode, cfg.alpha)
+        eval_step = make_tracknet_eval_step(model, cfg.bg_mode)
+        eval_fn = lambda s: eval_tracknet(s, eval_step, val_loader, cfg.tolerance)  # noqa: E731
+    else:
+        train_step = make_inpaintnet_train_step(model, tx, cfg.mask_ratio)
+        eval_step = make_inpaintnet_eval_step(model)
+        eval_fn = lambda s: eval_inpaintnet(s, eval_step, val_loader, cfg.tolerance)  # noqa: E731
+
+    # ----- mesh / resume state -----
+    mesh = make_mesh(cfg.num_devices) if (cfg.num_devices or 0) > 1 else None
+    if mesh is not None:
+        assert cfg.batch_size % mesh.size == 0, (
+            f"batch_size {cfg.batch_size} not divisible by mesh size {mesh.size}"
+        )
+        state = TrainState(*replicate_tree(tuple(state), mesh))
+
+    start_epoch, max_val_acc = 0, 0.0
+    if ckpt is not None:
+        state = TrainState(
+            params=ckpt["model"]["params"],
+            batch_stats=ckpt["model"].get("batch_stats", {}),
+            opt_state=jax.tree_util.tree_map(
+                lambda ref, new: np.asarray(new).astype(ref.dtype)
+                if hasattr(ref, "dtype")
+                else new,
+                state.opt_state,
+                ckpt["optimizer"],
+            )
+            if ckpt.get("optimizer") is not None
+            else state.opt_state,
+            step=state.step,
+        )
+        start_epoch = ckpt["epoch"] + 1
+        max_val_acc = ckpt["max_val_acc"]
+        verbose_print(f"Resume training from epoch {start_epoch}...")
+
+    # ----- epochs -----
+    history = []
+    t_train = time.time()
+    for epoch in range(start_epoch, cfg.epochs):
+        verbose_print(f"Epoch [{epoch + 1} / {cfg.epochs}]")
+        t0 = time.time()
+        losses = []
+        for step_i, batch in enumerate(train_loader):
+            step_rng = jax.random.fold_in(rng, epoch * steps_per_epoch + step_i)
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+            state, loss = train_step(state, batch, step_rng)
+            losses.append(loss)
+        train_loss = float(np.mean([float(l) for l in losses])) if losses else 0.0
+
+        val_loss, val_res = eval_fn(state)
+        write_to_tb(cfg.model_name, logger, (train_loss, val_loss), val_res, epoch)
+
+        cur_val_acc = (
+            val_res["accuracy"]
+            if cfg.model_name == "TrackNet"
+            else val_res["inpaint"]["accuracy"]
+        )
+        model_vars = {"params": state.params, "batch_stats": state.batch_stats}
+        common = dict(
+            epoch=epoch,
+            model=model_vars,
+            optimizer=state.opt_state,
+            scheduler=None,
+            param_dict=param_dict,
+        )
+        if cur_val_acc >= max_val_acc:
+            max_val_acc = cur_val_acc
+            save_checkpoint(
+                os.path.join(cfg.save_dir, f"{cfg.model_name}_best.pt"),
+                max_val_acc=max_val_acc,
+                **common,
+            )
+        save_checkpoint(cur_path, max_val_acc=max_val_acc, **common)
+
+        verbose_print(
+            f"  train_loss={train_loss:.6f} val_loss={val_loss:.6f} "
+            f"val_acc={cur_val_acc:.4f} ({time.time() - t0:.1f}s)"
+        )
+        history.append(
+            dict(epoch=epoch, train_loss=train_loss, val_loss=val_loss, val_res=val_res)
+        )
+
+    logger.close()
+    verbose_print(f"Training time: {(time.time() - t_train) / 3600.0:.2f} hrs")
+    return dict(history=history, max_val_acc=max_val_acc, state=state)

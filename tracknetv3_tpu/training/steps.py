@@ -1,0 +1,208 @@
+"""Jitted training/eval steps for both models.
+
+One device program per optimizer step: batch assembly (channel stacking,
+normalization), label-heatmap generation, sample mixup, forward, loss,
+backward, and the optimizer update all fuse under a single ``jit``. Under a
+data-parallel sharding the gradient all-reduce and the global BatchNorm
+statistics are inserted by XLA automatically (see parallel/mesh.py).
+
+Reference behavior mirrored:
+- TrackNet: optional sample mixup with per-sample Beta(alpha, alpha) lambda
+  (reference: train.py:19-40), WBCE loss (train.py:93).
+- InpaintNet: Bernoulli(mask_ratio) random mask AND-ed with GT visibility,
+  masked coords zeroed before the forward pass, MSE on masked positions
+  only, grad-norm clip 1.0 (reference: train.py:147-166).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ops.heatmap import make_heatmaps
+from ..ops.losses import masked_mse, wbce, wbce_from_logits
+from ..ops.preprocess import window_channels
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def create_train_state(variables, tx) -> TrainState:
+    params = variables["params"]
+    return TrainState(
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+        step=jnp.int32(0),
+    )
+
+
+def _blend_slots(frames: jax.Array, pair: jax.Array, pix_w: jax.Array) -> jax.Array:
+    """Frame-mixup pixel blending on device.
+
+    frames (B, L, h, w, c); pair (B, L, 2) indices (ja, jb);
+    out[b, l] = w * frames[b, ja] + (1-w) * frames[b, jb].
+    """
+    idx_a = pair[..., 0][..., None, None, None]
+    idx_b = pair[..., 1][..., None, None, None]
+    fa = jnp.take_along_axis(frames, idx_a, axis=1)
+    fb = jnp.take_along_axis(frames, idx_b, axis=1)
+    w = pix_w[..., None, None, None]
+    return fa * w + fb * (1.0 - w)
+
+
+def assemble_tracknet_batch(batch: Dict[str, jax.Array], bg_mode: str):
+    """Device-side batch assembly: stack channels + generate label heatmaps.
+
+    With frame-mixup plans in the batch (mix_* keys), the pixel blending
+    and the blended-disk label generation also happen here
+    (reference behavior: dataset.py:476-594, all on CPU there).
+
+    Returns (x (B,H,W,C) f32 in [0,1], y (B,H,W,L) f32 heatmaps)."""
+    rgb = batch.get("rgb")
+    diff = batch.get("diff")
+    median = batch.get("median")
+    if rgb is not None:
+        rgb = rgb.astype(jnp.float32)
+    if diff is not None:
+        diff = diff.astype(jnp.float32)
+    if median is not None:
+        median = median.astype(jnp.float32)
+
+    if "mix_pair" in batch:
+        pair = batch["mix_pair"]
+        pix_w = batch["mix_pix_w"].astype(jnp.float32)
+        if rgb is not None:
+            rgb = _blend_slots(rgb, pair, pix_w)
+        if diff is not None:
+            diff = _blend_slots(diff, pair, pix_w)
+        x = window_channels(rgb, diff, median, bg_mode)
+        h, w = x.shape[-3:-1]
+        centers = batch["mix_centers"]  # (B, L, 2, 2)
+        hm_w = batch["mix_hm_w"].astype(jnp.float32)[..., None, None]
+        map_a = make_heatmaps(centers[..., 0, 0], centers[..., 0, 1], h, w)
+        map_b = make_heatmaps(centers[..., 1, 0], centers[..., 1, 1], h, w)
+        maps = map_a * hm_w + map_b * (1.0 - hm_w)
+    else:
+        x = window_channels(rgb, diff, median, bg_mode)
+        cxcy = batch["cxcy"]
+        h, w = x.shape[-3:-1]
+        maps = make_heatmaps(cxcy[..., 0], cxcy[..., 1], h, w)  # (B, L, h, w)
+    y = jnp.moveaxis(maps, 1, -1)  # (B, h, w, L)
+    return x, y
+
+
+def sample_mixup(rng, x, y, alpha: float):
+    """Per-sample Beta(alpha, alpha) mixup (reference: train.py:19-40)."""
+    B = x.shape[0]
+    r_lam, r_perm = jax.random.split(rng)
+    lam = jax.random.beta(r_lam, alpha, alpha, (B,))
+    lam = jnp.maximum(lam, 1.0 - lam)
+    perm = jax.random.permutation(r_perm, B)
+    lx = lam.reshape((B,) + (1,) * (x.ndim - 1))
+    ly = lam.reshape((B,) + (1,) * (y.ndim - 1))
+    x_mix = x * lx + x[perm] * (1.0 - lx)
+    y_mix = y * ly + y[perm] * (1.0 - ly)
+    return x_mix, y_mix
+
+
+def make_tracknet_train_step(model, tx, bg_mode: str, alpha: float):
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch, rng) -> Tuple[TrainState, jax.Array]:
+        x, y = assemble_tracknet_batch(batch, bg_mode)
+        if alpha > 0:
+            x, y = sample_mixup(rng, x, y, alpha)
+
+        def loss_fn(params):
+            logits, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            return wbce_from_logits(logits, y), mutated["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(new_params, new_stats, new_opt, state.step + 1),
+            loss,
+        )
+
+    return step
+
+
+def make_tracknet_eval_step(model, bg_mode: str):
+    """Eval forward: returns (loss, probs) without touching batch stats."""
+
+    @jax.jit
+    def step(state: TrainState, batch):
+        x, y = assemble_tracknet_batch(batch, bg_mode)
+        probs = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x,
+            train=False,
+            apply_sigmoid=True,
+        )
+        loss = wbce(probs, y)
+        return loss, probs
+
+    return step
+
+
+def make_inpaintnet_train_step(model, tx, mask_ratio: float):
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch, rng) -> Tuple[TrainState, jax.Array]:
+        coor_pred = batch["coor_pred"]
+        coor_gt = batch["coor"]
+        vis_gt = batch["vis"]  # (B, L, 1)
+        mask = jax.random.bernoulli(rng, mask_ratio, vis_gt.shape).astype(
+            jnp.float32
+        )
+        inpaint_mask = (vis_gt > 0).astype(jnp.float32) * mask
+        coor_in = coor_pred * (1.0 - inpaint_mask)
+
+        def loss_fn(params):
+            refine = model.apply({"params": params}, coor_in, inpaint_mask)
+            return masked_mse(refine, coor_gt, inpaint_mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(new_params, state.batch_stats, new_opt, state.step + 1),
+            loss,
+        )
+
+    return step
+
+
+def make_inpaintnet_eval_step(model):
+    """Eval forward with composite + COOR_TH threshold
+    (reference: test.py:396-408)."""
+    from ..config import COOR_TH
+
+    @jax.jit
+    def step(state: TrainState, batch):
+        coor_pred = batch["coor_pred"]
+        coor_gt = batch["coor"]
+        inpaint_mask = batch["inpaint_mask"]
+        out = model.apply({"params": state.params}, coor_pred, inpaint_mask)
+        coor_inpaint = out * inpaint_mask + coor_pred * (1.0 - inpaint_mask)
+        loss = masked_mse(coor_inpaint, coor_gt, inpaint_mask)
+        th = (coor_inpaint[..., 0] < COOR_TH) & (coor_inpaint[..., 1] < COOR_TH)
+        coor_inpaint = jnp.where(th[..., None], 0.0, coor_inpaint)
+        return loss, coor_inpaint
+
+    return step

@@ -1,0 +1,42 @@
+#!/usr/bin/env python
+"""Training CLI (argument surface mirrors reference train.py:181-199,
+plus TPU-native extensions: --data_dir, --num_devices)."""
+
+import argparse
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model_name", type=str, default="TrackNet", choices=["TrackNet", "InpaintNet"])
+    parser.add_argument("--seq_len", type=int, default=8, help="sequence length of input")
+    parser.add_argument("--epochs", type=int, default=3)
+    parser.add_argument("--batch_size", type=int, default=10)
+    parser.add_argument("--optim", type=str, default="Adam", choices=["Adam", "SGD", "Adadelta"])
+    parser.add_argument("--learning_rate", type=float, default=0.001)
+    parser.add_argument("--lr_scheduler", type=str, default="", choices=["", "StepLR"])
+    parser.add_argument("--bg_mode", type=str, default="", choices=["", "subtract", "subtract_concat", "concat"])
+    parser.add_argument("--alpha", type=float, default=-1, help="sample-mixup alpha, -1 disables")
+    parser.add_argument("--frame_alpha", type=float, default=-1, help="frame-mixup alpha, -1 disables")
+    parser.add_argument("--mask_ratio", type=float, default=0.3)
+    parser.add_argument("--tolerance", type=float, default=4)
+    parser.add_argument("--resume_training", action="store_true", default=False)
+    parser.add_argument("--seed", type=int, default=13)
+    parser.add_argument("--save_dir", type=str, default="exp")
+    parser.add_argument("--debug", action="store_true", default=False)
+    parser.add_argument("--verbose", action="store_true", default=False)
+    # TPU-native extensions
+    parser.add_argument("--data_dir", type=str, default="data")
+    parser.add_argument("--num_devices", type=int, default=None, help="data-parallel width (default: single device)")
+    args = parser.parse_args()
+
+    from tracknetv3_tpu.config import TrainConfig
+    from tracknetv3_tpu.training.loop import train
+
+    cfg_kwargs = {k: v for k, v in vars(args).items() if k != "data_dir"}
+    cfg = TrainConfig(**cfg_kwargs)
+    train(cfg, data_dir=args.data_dir)
+    print("Done......")
+
+
+if __name__ == "__main__":
+    main()
