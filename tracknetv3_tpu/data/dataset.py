@@ -249,7 +249,12 @@ class FrameCache:
         self._median: Dict[str, np.ndarray] = {}
 
     def _cache_path(self, rally_dir: str) -> str:
-        tag = "diff" if self.bg_mode in ("subtract", "subtract_concat") else "rgb"
+        tag = {
+            "": "rgb",
+            "subtract": "diff",
+            "subtract_concat": "diff",
+            "concat": "concat",
+        }[self.bg_mode]
         return os.path.join(rally_dir, f"cache_{HEIGHT}x{WIDTH}_{tag}.npz")
 
     def _build(self, rally_dir: str):

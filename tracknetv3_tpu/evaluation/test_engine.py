@@ -67,6 +67,12 @@ class RallyTestEngine:
         self.eval_mode = eval_mode
         self.batch_size = batch_size
         self.tolerance = tolerance
+        if tracknet is not None:
+            from ..models.fused_forward import fold_batchnorm
+
+            self._folded = fold_batchnorm(
+                {"params": tracknet[1]["params"], "batch_stats": tracknet[1]["batch_stats"]}
+            )
         if eval_mode != "nonoverlap" and tracknet is not None:
             self._weights = jnp.asarray(get_ensemble_weight(self.seq_len, eval_mode))
         self._overlap_step = jax.jit(self._overlap_step_impl)
@@ -77,7 +83,8 @@ class RallyTestEngine:
 
     def _forward_cached(self, rgb, diff, median, starts):
         """Window assembly from cached resized frames + U-Net forward."""
-        model, variables = self.tracknet
+        from ..models.fused_forward import tracknet_fused_forward
+
         L = self.seq_len
         rgb_w = (
             gather_windows(rgb.astype(jnp.float32), starts, L)
@@ -91,7 +98,7 @@ class RallyTestEngine:
         )
         med = median.astype(jnp.float32) if median is not None else None
         x = window_channels(rgb_w, diff_w, med, self.bg_mode)
-        probs = model.apply(variables, x, train=False, apply_sigmoid=True)
+        probs = tracknet_fused_forward(self._folded, x)
         return jnp.moveaxis(probs, -1, 1)  # (B, L, H, W)
 
     def _overlap_step_impl(self, rgb, diff, median, starts, t0, num_windows):

@@ -48,6 +48,12 @@ class TrackNetPredictor:
         self.tracknet, self.tracknet_vars, tn_pd = load_model_from_checkpoint(
             tracknet_file
         )
+        from .models.fused_forward import fold_batchnorm
+
+        # Inference runs the folded-BN hand-scheduled forward (same outputs
+        # as the flax module to bf16 rounding, ~170x faster on this TPU
+        # runtime - see models/fused_forward.py).
+        self._folded = fold_batchnorm(self.tracknet_vars)
         self.seq_len = int(tn_pd["seq_len"])
         self.bg_mode = tn_pd.get("bg_mode", "")
         self.eval_mode = eval_mode
@@ -67,15 +73,16 @@ class TrackNetPredictor:
             )
         )
         self._overlap_step = jax.jit(self._overlap_step_impl)
+        self._overlap_step_resident = jax.jit(self._overlap_step_resident_impl)
         self._nonoverlap_step = jax.jit(self._nonoverlap_step_impl)
 
     # ----------------------------- device steps -----------------------------
 
     def _forward_windows(self, frames_u8, median, starts):
+        from .models.fused_forward import tracknet_fused_forward
+
         x = self._preproc(frames_u8, median, starts)
-        probs = self.tracknet.apply(
-            self.tracknet_vars, x, train=False, apply_sigmoid=True
-        )  # (B, H, W, L)
+        probs = tracknet_fused_forward(self._folded, x)  # (B, H, W, L)
         return jnp.moveaxis(probs, -1, 1)  # (B, L, H, W)
 
     def _overlap_step_impl(self, frames_u8, median, t0, num_windows):
@@ -87,6 +94,34 @@ class TrackNetPredictor:
         wins = self._forward_windows(frames_u8, median, jnp.arange(nwin))
         frames = ensemble_chunk(wins, self._weights, t0, num_windows)
         return decode_heatmaps(frames)
+
+    def _overlap_step_resident_impl(self, all_frames, median, t0, num_windows):
+        """Overlap chunk against a device-RESIDENT padded frame buffer.
+
+        ``all_frames`` is front-padded with L-1 copies of frame 0 (and
+        back-padded), so the chunk for output frames t0..t0+B-1 is the
+        static-length slice starting at padded index t0. Per-step host->
+        device traffic is zero - on this runtime bulk H2D degrades ~10x
+        once large programs have executed, so the whole video is shipped
+        once, up front. Output is a single packed (B, 3) array
+        [cx, cy, vis] so collection is one small D2H per chunk.
+        """
+        L, B = self.seq_len, self.batch_size
+        chunk = jax.lax.dynamic_slice_in_dim(all_frames, t0, B + 2 * L - 2, axis=0)
+        nwin = B + L - 1
+        wins = self._forward_windows(chunk, median, jnp.arange(nwin))
+        frames = ensemble_chunk(wins, self._weights, t0, num_windows)
+        dec = decode_heatmaps(frames)
+        return jnp.stack([dec["cx"], dec["cy"], dec["vis"]], axis=-1)
+
+    def _pad_resident_impl(self, frames_u8, total: int):
+        """Device-side padded-buffer construction (host memcpy of GBs is
+        slow on a 1-core host; on device it is a single cheap program)."""
+        L = self.seq_len
+        T = frames_u8.shape[0]
+        front = jnp.repeat(frames_u8[:1], L - 1, axis=0)
+        back = jnp.repeat(frames_u8[-1:], total - (L - 1) - T, axis=0)
+        return jnp.concatenate([front, frames_u8, back], axis=0)
 
     def _nonoverlap_step_impl(self, frames_u8, median):
         L = self.seq_len
@@ -103,8 +138,15 @@ class TrackNetPredictor:
         median: Optional[np.ndarray] = None,
         img_scaler: Tuple[float, float] = (1.0, 1.0),
     ) -> Dict[str, list]:
-        """TrackNet stage over an in-memory RGB uint8 array (T, H0, W0, 3)."""
+        """TrackNet stage over an in-memory RGB uint8 array (T, H0, W0, 3).
+
+        Overlap mode ships the whole padded video to the device in one
+        transfer and runs resident-buffer chunks (see
+        _overlap_step_resident_impl for why)."""
         T = frames.shape[0]
+        if self.eval_mode != "nonoverlap":
+            # median (if needed) is computed on device from the staged buffer
+            return self._predict_frames_resident(frames, median, img_scaler)
         if median is None and self.bg_mode:
             median = np.median(frames.astype(np.float32), axis=0)
 
@@ -131,6 +173,85 @@ class TrackNetPredictor:
                     yield frames[idx], t0, min(B, T - t0)
 
         return self._run_pipeline(chunks(), T, median, img_scaler)
+
+    def upload_frames(self, frames: np.ndarray):
+        """One bulk H2D transfer of the raw video (do this before any
+        device program has executed - the relay's fast transfer path)."""
+        return jax.device_put(frames)
+
+    def build_resident(self, raw, T: int):
+        """Device-side padded buffer construction from uploaded frames."""
+        L, B = self.seq_len, self.batch_size
+        n_chunks = -(-T // B)
+        need = (L - 1) + n_chunks * B + (B + L - 1)
+        bucket = 256
+        total = -(-need // bucket) * bucket
+        pad = jax.jit(self._pad_resident_impl, static_argnums=(1,))
+        all_dev = pad(raw, total)
+        return all_dev, dict(T=T, total=total)
+
+    def stage_frames(self, frames: np.ndarray):
+        """Upload a whole video once and build the padded resident buffer."""
+        raw = self.upload_frames(frames)
+        return self.build_resident(raw, frames.shape[0])
+
+    def median_of_resident(self, all_dev, T: int, max_sample_num: int = 64):
+        """Median background from the resident buffer, on device.
+
+        Sample count is modest: the median sort materializes the f32
+        sample stack (~2.8 MB/720p frame), and HBM is shared with the
+        resident video buffer."""
+        L = self.seq_len
+        step = max(T // min(max_sample_num, T), 1)
+        idx = jnp.arange(L - 1, L - 1 + T, step)
+
+        @jax.jit
+        def med(buf):
+            sample = jnp.take(buf, idx, axis=0).astype(jnp.float32)
+            return jnp.median(sample, axis=0)
+
+        return med(all_dev)
+
+    def run_resident(self, all_dev, T: int, median, img_scaler=(1.0, 1.0)):
+        """Run all overlap chunks against a staged buffer."""
+        B = self.batch_size
+        med_dev = (
+            jnp.asarray(median, jnp.float32)
+            if median is not None
+            else jnp.zeros((1, 1, 3))
+        )
+        S_dev = jnp.int32(max(T - self.seq_len + 1, 1))
+        results = []
+        for t0 in range(0, T, B):
+            packed = self._overlap_step_resident(
+                all_dev, med_dev, jnp.int32(t0), S_dev
+            )
+            results.append((packed, min(B, T - t0)))
+        return self._collect_packed(results, T, img_scaler)
+
+    def _predict_frames_resident(self, frames, median, img_scaler):
+        """Single-upload overlap pipeline over a device-resident buffer."""
+        all_dev, meta = self.stage_frames(frames)
+        if median is None and self.bg_mode:
+            median = self.median_of_resident(all_dev, meta["T"])
+        return self.run_resident(all_dev, meta["T"], median, img_scaler)
+
+    @staticmethod
+    def _collect_packed(results, total_frames, img_scaler):
+        pred = {"Frame": [], "X": [], "Y": [], "Visibility": []}
+        w_s, h_s = img_scaler
+        frame_id = 0
+        for packed, n_valid in results:
+            arr = np.asarray(packed)[:n_valid]
+            for k in range(arr.shape[0]):
+                if frame_id >= total_frames:
+                    break
+                pred["Frame"].append(frame_id)
+                pred["X"].append(int(arr[k, 0] * w_s))
+                pred["Y"].append(int(arr[k, 1] * h_s))
+                pred["Visibility"].append(int(arr[k, 2]))
+                frame_id += 1
+        return pred
 
     def predict_video_streaming(
         self,
@@ -229,7 +350,11 @@ class TrackNetPredictor:
                 )
             results.append((dec, n_valid))
 
-        # Collect to host once, at the end (device queue stays busy).
+        return self._collect(results, total_frames, img_scaler)
+
+    @staticmethod
+    def _collect(results, total_frames, img_scaler):
+        """Drain decoded device results into the prediction dict."""
         pred = {"Frame": [], "X": [], "Y": [], "Visibility": []}
         w_s, h_s = img_scaler
         frame_id = 0

@@ -1,0 +1,233 @@
+"""Hand-scheduled TrackNet inference forward with folded BatchNorm.
+
+At inference, BatchNorm is an affine transform with constant parameters,
+so it folds into the preceding (bias-free) convolution:
+
+    W' = W * gamma / sqrt(var + eps)        (per output channel)
+    b' = beta - mean * gamma / sqrt(var + eps)
+
+yielding a pure conv+bias+relu chain: fewer ops, no f32<->bf16 ping-pong,
+and one fused kernel per block on the MXU. Produces the same outputs as
+``TrackNet.apply(..., train=False)`` up to bf16 rounding (verified by
+tests). Used by the inference engine and the bench.
+
+Architecture contract: reference model.py:44-73 (see models/tracknet.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_BLOCKS = [
+    ("down_block_1", 2),
+    ("down_block_2", 2),
+    ("down_block_3", 3),
+    ("bottleneck", 3),
+    ("up_block_1", 3),
+    ("up_block_2", 2),
+    ("up_block_3", 2),
+]
+
+
+def fold_batchnorm(variables: Dict[str, Any], eps: float = 1e-5) -> Dict[str, Any]:
+    """Fold BN statistics/affine params into conv kernels + biases.
+
+    Returns {block: [(kernel, bias), ...], 'predictor': (kernel, bias)}.
+    """
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    folded: Dict[str, Any] = {}
+    for block, n in _BLOCKS:
+        convs: List[Tuple[np.ndarray, np.ndarray]] = []
+        for i in range(1, n + 1):
+            sub = f"conv_{i}"
+            kernel = np.asarray(params[block][sub]["conv"]["kernel"], np.float32)
+            gamma = np.asarray(params[block][sub]["bn"]["scale"], np.float32)
+            beta = np.asarray(params[block][sub]["bn"]["bias"], np.float32)
+            mean = np.asarray(stats[block][sub]["bn"]["mean"], np.float32)
+            var = np.asarray(stats[block][sub]["bn"]["var"], np.float32)
+            inv = gamma / np.sqrt(var + eps)
+            convs.append((kernel * inv, beta - mean * inv))
+        folded[block] = convs
+    folded["predictor"] = (
+        np.asarray(params["predictor"]["kernel"], np.float32),
+        np.asarray(params["predictor"]["bias"], np.float32),
+    )
+    return folded
+
+
+def _conv_relu(x: jax.Array, kernel, bias, dtype=jnp.bfloat16) -> jax.Array:
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype),
+        jnp.asarray(kernel, dtype),
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    y = y + jnp.asarray(bias, jnp.float32)
+    return jnp.maximum(y, 0.0).astype(dtype)
+
+
+def _block(x, convs, dtype):
+    for kernel, bias in convs:
+        x = _conv_relu(x, kernel, bias, dtype)
+    return x
+
+
+def _pool(x):
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    )
+
+
+def _up2x(x):
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
+    return x.reshape(n, h * 2, w * 2, c)
+
+
+def tracknet_train_forward(
+    params: Dict[str, Any],
+    batch_stats: Dict[str, Any],
+    x: jax.Array,
+    *,
+    train: bool = True,
+    momentum: float = 0.9,
+    eps: float = 1e-5,
+    dtype=jnp.bfloat16,
+) -> Tuple[jax.Array, Dict[str, Any]]:
+    """Functional TrackNet forward over the flax parameter tree.
+
+    Same math as ``TrackNet.apply`` (conv->BN->ReLU blocks; batch
+    statistics over (N, H, W) with running-average update, flax
+    momentum=0.9 semantics) but written as explicit lax ops - the flax
+    module's op pattern executes ~100x slower on this TPU runtime. Used by
+    the jitted train/eval steps; the flax module remains the
+    definition/init/parity reference.
+
+    Returns (logits f32, new_batch_stats).
+    """
+    new_stats = {k: {} for k, _ in _BLOCKS}
+
+    def conv_bn_relu(x, block, i):
+        sub = f"conv_{i}"
+        kernel = params[block][sub]["conv"]["kernel"].astype(dtype)
+        # No preferred_element_type here: its mixed-dtype backward conv is
+        # rejected by lax. bf16 output + f32 BN matches flax's semantics.
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            kernel,
+            (1, 1),
+            "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ).astype(jnp.float32)
+        scale = params[block][sub]["bn"]["scale"]
+        bias = params[block][sub]["bn"]["bias"]
+        if train:
+            bmean = jnp.mean(y, axis=(0, 1, 2))
+            bvar = jnp.maximum(
+                jnp.mean(jnp.square(y), axis=(0, 1, 2)) - jnp.square(bmean), 0.0
+            )
+            new_stats[block][sub] = {
+                "bn": {
+                    "mean": momentum * batch_stats[block][sub]["bn"]["mean"]
+                    + (1.0 - momentum) * bmean,
+                    "var": momentum * batch_stats[block][sub]["bn"]["var"]
+                    + (1.0 - momentum) * bvar,
+                }
+            }
+            mean, var = bmean, bvar
+        else:
+            mean = batch_stats[block][sub]["bn"]["mean"]
+            var = batch_stats[block][sub]["bn"]["var"]
+        y = (y - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+        return jnp.maximum(y, 0.0).astype(dtype)
+
+    def block(x, name, n):
+        for i in range(1, n + 1):
+            x = conv_bn_relu(x, name, i)
+        return x
+
+    x = x.astype(dtype)
+    x1 = block(x, "down_block_1", 2)
+    x = _pool(x1)
+    x2 = block(x, "down_block_2", 2)
+    x = _pool(x2)
+    x3 = block(x, "down_block_3", 3)
+    x = _pool(x3)
+    x = block(x, "bottleneck", 3)
+    x = jnp.concatenate([_up2x(x), x3], axis=-1)
+    x = block(x, "up_block_1", 3)
+    x = jnp.concatenate([_up2x(x), x2], axis=-1)
+    x = block(x, "up_block_2", 2)
+    x = jnp.concatenate([_up2x(x), x1], axis=-1)
+    x = block(x, "up_block_3", 2)
+    logits = (
+        jax.lax.conv_general_dilated(
+            x,
+            params["predictor"]["kernel"].astype(dtype),
+            (1, 1),
+            "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ).astype(jnp.float32)
+        + params["predictor"]["bias"]
+    )
+    return logits, (new_stats if train else batch_stats)
+
+
+def tracknet_fused_forward(
+    folded: Dict[str, Any],
+    x: jax.Array,
+    *,
+    dtype=jnp.bfloat16,
+    apply_sigmoid: bool = True,
+    num_stages: int = 7,
+) -> jax.Array:
+    """Folded-BN TrackNet forward. ``num_stages`` truncates the network
+    (1..7 blocks) for stage-wise profiling; 7 = full model."""
+    x = x.astype(dtype)
+    x1 = _block(x, folded["down_block_1"], dtype)
+    if num_stages == 1:
+        return x1
+    x = _pool(x1)
+    x2 = _block(x, folded["down_block_2"], dtype)
+    if num_stages == 2:
+        return x2
+    x = _pool(x2)
+    x3 = _block(x, folded["down_block_3"], dtype)
+    if num_stages == 3:
+        return x3
+    x = _pool(x3)
+    x = _block(x, folded["bottleneck"], dtype)
+    if num_stages == 4:
+        return x
+    x = jnp.concatenate([_up2x(x), x3], axis=-1)
+    x = _block(x, folded["up_block_1"], dtype)
+    if num_stages == 5:
+        return x
+    x = jnp.concatenate([_up2x(x), x2], axis=-1)
+    x = _block(x, folded["up_block_2"], dtype)
+    if num_stages == 6:
+        return x
+    x = jnp.concatenate([_up2x(x), x1], axis=-1)
+    x = _block(x, folded["up_block_3"], dtype)
+    kernel, bias = folded["predictor"]
+    logits = (
+        jax.lax.conv_general_dilated(
+            x,
+            jnp.asarray(kernel, dtype),
+            (1, 1),
+            "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        + jnp.asarray(bias, jnp.float32)
+    )
+    if apply_sigmoid:
+        return jax.nn.sigmoid(logits)
+    return logits

@@ -115,6 +115,8 @@ def sample_mixup(rng, x, y, alpha: float):
 
 
 def make_tracknet_train_step(model, tx, bg_mode: str, alpha: float):
+    from ..models.fused_forward import tracknet_train_forward
+
     @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch, rng) -> Tuple[TrainState, jax.Array]:
         x, y = assemble_tracknet_batch(batch, bg_mode)
@@ -122,13 +124,10 @@ def make_tracknet_train_step(model, tx, bg_mode: str, alpha: float):
             x, y = sample_mixup(rng, x, y, alpha)
 
         def loss_fn(params):
-            logits, mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                x,
-                train=True,
-                mutable=["batch_stats"],
+            logits, new_stats = tracknet_train_forward(
+                params, state.batch_stats, x, train=True
             )
-            return wbce_from_logits(logits, y), mutated["batch_stats"]
+            return wbce_from_logits(logits, y), new_stats
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
@@ -145,16 +144,15 @@ def make_tracknet_train_step(model, tx, bg_mode: str, alpha: float):
 
 def make_tracknet_eval_step(model, bg_mode: str):
     """Eval forward: returns (loss, probs) without touching batch stats."""
+    from ..models.fused_forward import tracknet_train_forward
 
     @jax.jit
     def step(state: TrainState, batch):
         x, y = assemble_tracknet_batch(batch, bg_mode)
-        probs = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            x,
-            train=False,
-            apply_sigmoid=True,
+        logits, _ = tracknet_train_forward(
+            state.params, state.batch_stats, x, train=False
         )
+        probs = jax.nn.sigmoid(logits)
         loss = wbce(probs, y)
         return loss, probs
 
