@@ -74,6 +74,7 @@ class TrackNetPredictor:
         )
         self._overlap_step = jax.jit(self._overlap_step_impl)
         self._overlap_step_resident = jax.jit(self._overlap_step_resident_impl)
+        self._overlap_step_preresized = jax.jit(self._overlap_step_preresized_impl)
         self._nonoverlap_step = jax.jit(self._nonoverlap_step_impl)
 
     # ----------------------------- device steps -----------------------------
@@ -122,6 +123,36 @@ class TrackNetPredictor:
         front = jnp.repeat(frames_u8[:1], L - 1, axis=0)
         back = jnp.repeat(frames_u8[-1:], total - (L - 1) - T, axis=0)
         return jnp.concatenate([front, frames_u8, back], axis=0)
+
+    def _overlap_step_preresized_impl(self, rgb, diff, median_resized, t0, num_windows):
+        """Overlap chunk whose inputs are already model-resolution frames
+        (host-resized). Used by the streaming path: shipping 288x512
+        uint8 instead of raw 720p cuts per-chunk H2D ~6x (and ~190x vs
+        f32 full-res), which matters on hosts with weak transfer paths."""
+        from .ops.preprocess import gather_windows, window_channels
+
+        L = self.seq_len
+        nwin = rgb.shape[0] - (L - 1) if rgb is not None else diff.shape[0] - (L - 1)
+        starts = jnp.arange(nwin)
+        rgb_w = (
+            gather_windows(rgb.astype(jnp.float32), starts, L) if rgb is not None else None
+        )
+        diff_w = (
+            gather_windows(diff.astype(jnp.float32), starts, L)
+            if diff is not None
+            else None
+        )
+        med = (
+            median_resized.astype(jnp.float32) if median_resized is not None else None
+        )
+        x = window_channels(rgb_w, diff_w, med, self.bg_mode)
+        from .models.fused_forward import tracknet_fused_forward
+
+        probs = tracknet_fused_forward(self._folded, x)
+        wins = jnp.moveaxis(probs, -1, 1)
+        frames = ensemble_chunk(wins, self._weights, t0, num_windows)
+        dec = decode_heatmaps(frames)
+        return jnp.stack([dec["cx"], dec["cy"], dec["vis"]], axis=-1)
 
     def _nonoverlap_step_impl(self, frames_u8, median):
         L = self.seq_len
@@ -259,14 +290,23 @@ class TrackNetPredictor:
         max_sample_num: int = 1800,
         video_range: Optional[Tuple[int, int]] = None,
         median: Optional[np.ndarray] = None,
+        host_resize: bool = True,
     ) -> Dict[str, list]:
-        """TrackNet stage streaming from disk (--large_video path)."""
+        """TrackNet stage streaming from disk (--large_video path).
+
+        With ``host_resize`` (default) decoded frames are resized (and the
+        background difference computed) on the host so only model-
+        resolution uint8 tensors cross the PCIe/relay link; the overlap
+        chunks then run the pre-resized device step."""
         reader = VideoReader(video_file)
         img_scaler = (reader.w / WIDTH, reader.h / HEIGHT)
         if median is None and self.bg_mode:
             median = reader.sample_median(max_sample_num, video_range)
         T = reader.video_len
         L, B = self.seq_len, self.batch_size
+
+        if host_resize and self.eval_mode != "nonoverlap":
+            return self._streaming_host_resize(reader, median, img_scaler)
 
         def chunks() -> Iterator[Tuple[np.ndarray, int, int]]:
             reader.seek(0)
@@ -315,6 +355,102 @@ class TrackNetPredictor:
             reader.release()
 
         return self._run_pipeline(chunks(), T, median, img_scaler)
+
+    def _streaming_host_resize(self, reader, median, img_scaler):
+        """Streaming overlap pipeline with host-side resize/diff.
+
+        Host work per frame (cv2 INTER_AREA resize + optional mod-256
+        diff) replicates the FrameCache recipe; device receives only
+        288x512 uint8 tensors."""
+        import cv2
+
+        T = reader.video_len
+        L, B = self.seq_len, self.batch_size
+        need_diff = self.bg_mode in ("subtract", "subtract_concat")
+        need_rgb = self.bg_mode in ("", "subtract_concat", "concat")
+        med_resized = None
+        if self.bg_mode == "concat":
+            med_resized = jnp.asarray(
+                cv2.resize(
+                    median.astype(np.uint8), (WIDTH, HEIGHT), interpolation=cv2.INTER_AREA
+                )
+            )
+
+        def process(frame):
+            out = []
+            if need_rgb:
+                out.append(
+                    cv2.resize(frame, (WIDTH, HEIGHT), interpolation=cv2.INTER_AREA)
+                )
+            else:
+                out.append(None)
+            if need_diff:
+                d = np.sum(np.abs(frame - median), axis=2).astype("uint8")
+                out.append(
+                    cv2.resize(d, (WIDTH, HEIGHT), interpolation=cv2.INTER_AREA)[
+                        ..., None
+                    ]
+                )
+            else:
+                out.append(None)
+            return out
+
+        q: "queue.Queue" = queue.Queue(maxsize=4)
+        SENTINEL = object()
+
+        def producer():
+            try:
+                reader.seek(0)
+                buf_rgb, buf_diff = [], []
+                base = 0
+                for t0 in range(0, T, B):
+                    hi = min(t0 + B + L - 1, T)
+                    while base + len(buf_rgb) < hi:
+                        f = reader.read()
+                        if f is None:
+                            break
+                        r, d = process(f)
+                        buf_rgb.append(r)
+                        buf_diff.append(d)
+                    lo = max(t0 - L + 1, 0)
+                    if lo > base:
+                        buf_rgb = buf_rgb[lo - base :]
+                        buf_diff = buf_diff[lo - base :]
+                        base = lo
+                    idx = np.clip(
+                        np.arange(t0 - L + 1, t0 + B + L - 1) - base,
+                        0,
+                        len(buf_rgb) - 1,
+                    )
+                    rgb = (
+                        np.stack(buf_rgb)[idx] if buf_rgb[0] is not None else None
+                    )
+                    diff = (
+                        np.stack(buf_diff)[idx] if buf_diff[0] is not None else None
+                    )
+                    q.put((rgb, diff, t0, min(B, T - t0)))
+                reader.release()
+            finally:
+                q.put(SENTINEL)
+
+        threading.Thread(target=producer, daemon=True).start()
+
+        S_dev = jnp.int32(max(T - L + 1, 1))
+        results = []
+        while True:
+            item = q.get()
+            if item is SENTINEL:
+                break
+            rgb, diff, t0, n_valid = item
+            packed = self._overlap_step_preresized(
+                jnp.asarray(rgb) if rgb is not None else None,
+                jnp.asarray(diff) if diff is not None else None,
+                med_resized,
+                jnp.int32(t0),
+                S_dev,
+            )
+            results.append((packed, n_valid))
+        return self._collect_packed(results, T, img_scaler)
 
     def _run_pipeline(self, chunk_iter, total_frames, median, img_scaler):
         """Drive device steps over prefetched chunks; assemble pred_dict."""

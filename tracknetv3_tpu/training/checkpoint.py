@@ -75,7 +75,10 @@ def load_model_from_checkpoint(path: str):
         model, init_vars = get_model(
             "InpaintNet", pd.get("seq_len", 16), init_params=False
         )
-    variables = ckpt["model"]
+    variables = dict(ckpt["model"])
+    if not variables.get("batch_stats"):
+        # Stat-less models (InpaintNet) may carry an empty batch_stats dict.
+        variables.pop("batch_stats", None)
     # Sanity: tree structure must match a freshly-initialized model.
     ref_struct = jax.tree_util.tree_structure(init_vars)
     got_struct = jax.tree_util.tree_structure(variables)

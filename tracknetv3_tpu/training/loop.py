@@ -149,6 +149,45 @@ def train(config: TrainConfig, data_dir: str = "data", verbose_print=print) -> D
         max_val_acc = ckpt["max_val_acc"]
         verbose_print(f"Resume training from epoch {start_epoch}...")
 
+    display_step = 4 if cfg.debug else 100  # reference: train.py:213
+
+    def visualize_step(state, batch, step_i):
+        """Periodic training-progress dump (reference: train.py:103-119,
+        172-175): 4-panel heatmap GIF for TrackNet, trajectory plot for
+        InpaintNet."""
+        try:
+            if cfg.model_name == "TrackNet":
+                from ..utils.visualize import plot_heatmap_pred_sample
+                from .steps import assemble_tracknet_batch
+
+                loss, probs = eval_step(state, batch)
+                _, y = assemble_tracknet_batch(
+                    jax.tree_util.tree_map(lambda v: v[:1], batch), cfg.bg_mode
+                )
+                probs0 = np.moveaxis(np.asarray(probs[0]), -1, 0)  # (L, H, W)
+                y0 = np.moveaxis(np.asarray(y[0]), -1, 0)
+                if "rgb" in batch:
+                    frames0 = np.asarray(batch["rgb"][0]).astype(np.float32) / 255.0
+                else:
+                    frames0 = np.repeat(
+                        np.asarray(batch["diff"][0]).astype(np.float32) / 255.0, 3, -1
+                    )
+                plot_heatmap_pred_sample(
+                    frames0, y0, probs0, save_dir=cfg.save_dir
+                )
+            else:
+                from ..utils.visualize import plot_traj_pred_sample
+
+                loss, coor = eval_step(state, batch)
+                plot_traj_pred_sample(
+                    np.asarray(batch["coor"][0]),
+                    np.asarray(coor[0]),
+                    np.asarray(batch["inpaint_mask"][0]),
+                    save_dir=cfg.save_dir,
+                )
+        except Exception as e:  # viz must never kill training
+            verbose_print(f"  (viz skipped: {e})")
+
     # ----- epochs -----
     history = []
     t_train = time.time()
@@ -162,6 +201,8 @@ def train(config: TrainConfig, data_dir: str = "data", verbose_print=print) -> D
                 batch = shard_batch(batch, mesh)
             state, loss = train_step(state, batch, step_rng)
             losses.append(loss)
+            if (step_i + 1) % display_step == 0:
+                visualize_step(state, batch, step_i)
         train_loss = float(np.mean([float(l) for l in losses])) if losses else 0.0
 
         val_loss, val_res = eval_fn(state)

@@ -125,6 +125,44 @@ def plot_traj_pred_sample(
     plt.close(fig)
 
 
+def plot_diff_hist(
+    pred_types_a,
+    dists_a,
+    pred_types_b,
+    dists_b,
+    labels=("baseline", "refined"),
+    save_dir: str = ".",
+    name: str = "error_hist",
+):
+    """FP1/FP2 pixel-error histograms comparing two evaluation results
+    (reference contract: utils/visualize.py:179-290)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ..config import PRED_TYPES_MAP
+
+    os.makedirs(save_dir, exist_ok=True)
+    fig, axes = plt.subplots(1, 2, figsize=(10, 4))
+    for ax, err_type in zip(axes, ("FP1", "FP2")):
+        code = PRED_TYPES_MAP[err_type]
+        for (types, dists), label in zip(
+            ((pred_types_a, dists_a), (pred_types_b, dists_b)), labels
+        ):
+            types = np.asarray(types)
+            dists = np.asarray(dists)
+            sel = dists[types == code]
+            ax.hist(sel, bins=20, alpha=0.5, label=f"{label} (n={len(sel)})")
+        ax.set_title(f"{err_type} center-distance (px)")
+        ax.legend()
+    fig.tight_layout()
+    out = os.path.join(save_dir, f"{name}.png")
+    fig.savefig(out, dpi=96)
+    plt.close(fig)
+    return out
+
+
 def plot_median_files(data_dir: str, save_dir: Optional[str] = None):
     """Dump median previews for every split/match (reference:
     utils/visualize.py:74-101)."""
