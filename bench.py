@@ -58,7 +58,7 @@ def get_checkpoint(tmpdir, seq_len=8, bg_mode="concat"):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=480)
-    ap.add_argument("--batch_size", type=int, default=16)
+    ap.add_argument("--batch_size", type=int, default=32)
     ap.add_argument("--eval_mode", type=str, default="weight")
     ap.add_argument("--bg_mode", type=str, default="concat")
     ap.add_argument("--quick", action="store_true", help="small run for smoke tests")

@@ -89,6 +89,10 @@ class TrainConfig:
     num_devices: Optional[int] = None  # data-parallel width; None = all
     compute_dtype: str = "bfloat16"  # conv/matmul compute precision
     sync_bn: bool = True  # global (cross-replica) batch-norm statistics
+    # Windows per consecutive segment in a training batch (1 = fully
+    # shuffled windows like the reference; >1 ships each segment's unique
+    # frames once, cutting host->device traffic ~seg*L/(seg+L-1) times).
+    segment_windows: int = 1
 
     def to_param_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)

@@ -334,7 +334,15 @@ class HeatmapBatchLoader:
         seed: int = 13,
         data_dir: str = "",
         frame_alpha: float = -1.0,
+        segment_windows: int = 1,
     ):
+        """``segment_windows`` > 1 groups each batch into segments of that
+        many CONSECUTIVE windows: consecutive stride-1 windows share L-1
+        frames, so the loader ships each segment's unique frames once
+        ("seg_rgb"/"seg_diff" batch keys) and the train step assembles the
+        overlapping windows on device - ~(seg+L-1)/(seg*L) of the pixel
+        traffic. Mild batch correlation is the trade-off (like any video
+        clip sampler)."""
         self.index = index
         self.bg_mode = bg_mode
         self.batch_size = batch_size
@@ -343,8 +351,31 @@ class HeatmapBatchLoader:
         self.rng = np.random.default_rng(seed)
         self.cache = FrameCache(data_dir, bg_mode)
         self.frame_alpha = frame_alpha
+        self.segment_windows = max(int(segment_windows), 1)
+        if self.segment_windows > 1:
+            assert batch_size % self.segment_windows == 0, (
+                f"batch_size {batch_size} not divisible by segment_windows "
+                f"{self.segment_windows}"
+            )
+            assert frame_alpha <= 0, "segmented batches do not support frame mixup"
+            # valid segment starts: windows i..i+seg-1 in the same rally
+            # and consecutive (stride-1 indices built per rally in order).
+            ids = self.index.data["id"]
+            seg = self.segment_windows
+            same_rally = ids[:, 0, 0]
+            pos = ids[:, 0, 1]
+            n = len(ids)
+            ok = np.ones(n - seg + 1, bool) if n >= seg else np.zeros(0, bool)
+            for k in range(1, seg):
+                ok &= same_rally[k : n - seg + 1 + k] == same_rally[: n - seg + 1]
+                ok &= pos[k : n - seg + 1 + k] == pos[: n - seg + 1] + k
+            self._segment_starts = np.nonzero(ok)[0]
 
     def __len__(self):
+        if self.segment_windows > 1:
+            return len(self._segment_starts) // (
+                self.batch_size // self.segment_windows
+            )
         n = len(self.index)
         if self.drop_last:
             return n // self.batch_size
@@ -374,7 +405,76 @@ class HeatmapBatchLoader:
                 median[b] = m
         return rgb, diff, median
 
+    def _iter_segmented(self) -> Iterator[Dict[str, np.ndarray]]:
+        """Segmented batches: unique frames per segment + window metadata."""
+        seg = self.segment_windows
+        L = self.index.data["id"].shape[1]
+        n_seg_batch = self.batch_size // seg
+        starts = self._segment_starts.copy()
+        if self.shuffle:
+            self.rng.shuffle(starts)
+        n_batches = len(starts) // n_seg_batch
+        need_diff = self.bg_mode in ("subtract", "subtract_concat")
+        need_rgb = self.bg_mode in ("", "subtract_concat", "concat")
+        span = seg + L - 1  # unique frames per segment
+        for bi in range(n_batches):
+            seg_starts = starts[bi * n_seg_batch : (bi + 1) * n_seg_batch]
+            # window rows of this batch, ordered segment-major
+            sel = (seg_starts[:, None] + np.arange(seg)[None, :]).reshape(-1)
+            ids = self.index.data["id"][sel]
+            coor = self.index.data["coor"][sel].astype(np.float32)
+            vis = self.index.data["vis"][sel].astype(np.float32)
+            scaler = self.index.img_scaler[ids[:, 0, 0]]
+            shape = self.index.img_shape[ids[:, 0, 0]]
+            cx = (coor[..., 0] / scaler[:, None, 0]).astype(np.int32)
+            cy = (coor[..., 1] / scaler[:, None, 1]).astype(np.int32)
+
+            rgb = (
+                np.zeros((n_seg_batch, span, HEIGHT, WIDTH, 3), np.uint8)
+                if need_rgb
+                else None
+            )
+            diff = (
+                np.zeros((n_seg_batch, span, HEIGHT, WIDTH, 1), np.uint8)
+                if need_diff
+                else None
+            )
+            median = (
+                np.zeros((n_seg_batch, HEIGHT, WIDTH, 3), np.uint8)
+                if self.bg_mode == "concat"
+                else None
+            )
+            for k, st in enumerate(seg_starts):
+                first = self.index.data["id"][st]
+                frame0 = self.index.data["frame_id"][st][0]
+                rd = self.index.rally_dirs[first[0, 0]]
+                r, d, m = self.cache.load(rd)
+                fr = np.arange(frame0, frame0 + span)
+                fr = np.clip(fr, 0, r.shape[0] - 1 if r is not None else d.shape[0] - 1)
+                if need_rgb:
+                    rgb[k] = r[fr]
+                if need_diff:
+                    diff[k] = d[fr][..., None]
+                if median is not None:
+                    median[k] = m
+            batch = {
+                "id": ids,
+                "cxcy": np.stack([cx, cy], axis=-1),
+                "coor": coor / shape[:, None, :],
+                "vis": vis,
+            }
+            if rgb is not None:
+                batch["seg_rgb"] = rgb
+            if diff is not None:
+                batch["seg_diff"] = diff
+            if median is not None:
+                batch["median"] = median
+            yield batch
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        if self.segment_windows > 1:
+            yield from self._iter_segmented()
+            return
         n = len(self.index)
         order = np.arange(n)
         if self.shuffle:

@@ -42,6 +42,33 @@ from .steps import (
 )
 
 
+def _prefetch_to_device(loader, mesh, depth: int = 2):
+    """Background-thread device_put of upcoming batches: overlaps the
+    host gather + H2D transfer with the previous step's compute."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    END = object()
+
+    def producer():
+        try:
+            for batch in loader:
+                if mesh is not None:
+                    q.put(shard_batch(batch, mesh))
+                else:
+                    q.put(jax.device_put(batch))
+        finally:
+            q.put(END)
+
+    threading.Thread(target=producer, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is END:
+            return
+        yield item
+
+
 def train(config: TrainConfig, data_dir: str = "data", verbose_print=print) -> Dict[str, Any]:
     cfg = config
     os.makedirs(cfg.save_dir, exist_ok=True)
@@ -84,6 +111,7 @@ def train(config: TrainConfig, data_dir: str = "data", verbose_print=print) -> D
             seed=cfg.seed,
             data_dir=data_dir,
             frame_alpha=cfg.frame_alpha,
+            segment_windows=cfg.segment_windows,
         )
         val_loader = HeatmapBatchLoader(
             val_index, cfg.bg_mode, cfg.batch_size, data_dir=data_dir
@@ -166,8 +194,19 @@ def train(config: TrainConfig, data_dir: str = "data", verbose_print=print) -> D
                 )
                 probs0 = np.moveaxis(np.asarray(probs[0]), -1, 0)  # (L, H, W)
                 y0 = np.moveaxis(np.asarray(y[0]), -1, 0)
+                L = np.asarray(y[0]).shape[-1]
                 if "rgb" in batch:
                     frames0 = np.asarray(batch["rgb"][0]).astype(np.float32) / 255.0
+                elif "seg_rgb" in batch:
+                    frames0 = (
+                        np.asarray(batch["seg_rgb"][0][:L]).astype(np.float32) / 255.0
+                    )
+                elif "seg_diff" in batch:
+                    frames0 = np.repeat(
+                        np.asarray(batch["seg_diff"][0][:L]).astype(np.float32) / 255.0,
+                        3,
+                        -1,
+                    )
                 else:
                     frames0 = np.repeat(
                         np.asarray(batch["diff"][0]).astype(np.float32) / 255.0, 3, -1
@@ -195,10 +234,8 @@ def train(config: TrainConfig, data_dir: str = "data", verbose_print=print) -> D
         verbose_print(f"Epoch [{epoch + 1} / {cfg.epochs}]")
         t0 = time.time()
         losses = []
-        for step_i, batch in enumerate(train_loader):
+        for step_i, batch in enumerate(_prefetch_to_device(train_loader, mesh)):
             step_rng = jax.random.fold_in(rng, epoch * steps_per_epoch + step_i)
-            if mesh is not None:
-                batch = shard_batch(batch, mesh)
             state, loss = train_step(state, batch, step_rng)
             losses.append(loss)
             if (step_i + 1) % display_step == 0:

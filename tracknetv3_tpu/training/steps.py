@@ -70,6 +70,30 @@ def assemble_tracknet_batch(batch: Dict[str, jax.Array], bg_mode: str):
     rgb = batch.get("rgb")
     diff = batch.get("diff")
     median = batch.get("median")
+
+    if "seg_rgb" in batch or "seg_diff" in batch:
+        # Segmented batches: (n_seg, seg+L-1, h, w, c) unique frames ->
+        # (B, L, h, w, c) overlapping windows by device gather.
+        from ..ops.preprocess import gather_windows
+
+        L = batch["cxcy"].shape[1]
+
+        def expand(segs):
+            n_seg, span = segs.shape[0], segs.shape[1]
+            seg = span - L + 1
+            wins = jax.vmap(
+                lambda f: gather_windows(f, jnp.arange(seg), L)
+            )(segs.astype(jnp.float32))
+            return wins.reshape((n_seg * seg, L) + segs.shape[2:])
+
+        if "seg_rgb" in batch:
+            rgb = expand(batch["seg_rgb"])
+        if "seg_diff" in batch:
+            diff = expand(batch["seg_diff"])
+        if median is not None:
+            seg_n = (batch.get("seg_rgb", batch.get("seg_diff"))).shape[1] - L + 1
+            median = jnp.repeat(median.astype(jnp.float32), seg_n, axis=0)
+
     if rgb is not None:
         rgb = rgb.astype(jnp.float32)
     if diff is not None:

@@ -27,6 +27,8 @@ def main():
     # TPU-native extensions
     parser.add_argument("--data_dir", type=str, default="data")
     parser.add_argument("--num_devices", type=int, default=None, help="data-parallel width (default: single device)")
+    parser.add_argument("--segment_windows", type=int, default=1,
+                        help=">1 batches consecutive windows per segment, shipping shared frames once (less H2D traffic)")
     args = parser.parse_args()
 
     from tracknetv3_tpu.config import TrainConfig
