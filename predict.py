@@ -22,8 +22,17 @@ def main():
     parser.add_argument("--large_video", action="store_true", default=False, help="stream the video instead of loading it into RAM")
     parser.add_argument("--output_video", action="store_true", default=False, help="write video overlaid with the predicted trajectory")
     parser.add_argument("--traj_len", type=int, default=8, help="length of drawn trajectory comet")
+    parser.add_argument("--profile", type=str, default="", help="capture a jax.profiler trace into this directory")
     args = parser.parse_args()
 
+    from tracknetv3_tpu.utils.profiling import trace
+
+    with trace(args.profile or None):
+        _run_predict(args)
+    print("Done.")
+
+
+def _run_predict(args):
     from tracknetv3_tpu.inference import predict_video
 
     predict_video(
@@ -39,7 +48,6 @@ def main():
         output_video=args.output_video,
         traj_len=args.traj_len,
     )
-    print("Done.")
 
 
 if __name__ == "__main__":

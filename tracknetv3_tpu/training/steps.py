@@ -17,7 +17,7 @@ Reference behavior mirrored:
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -59,14 +59,10 @@ def _blend_slots(frames: jax.Array, pair: jax.Array, pix_w: jax.Array) -> jax.Ar
     return fa * w + fb * (1.0 - w)
 
 
-def assemble_tracknet_batch(batch: Dict[str, jax.Array], bg_mode: str):
-    """Device-side batch assembly: stack channels + generate label heatmaps.
-
-    With frame-mixup plans in the batch (mix_* keys), the pixel blending
-    and the blended-disk label generation also happen here
-    (reference behavior: dataset.py:476-594, all on CPU there).
-
-    Returns (x (B,H,W,C) f32 in [0,1], y (B,H,W,L) f32 heatmaps)."""
+def assemble_tracknet_inputs(batch: Dict[str, jax.Array], bg_mode: str) -> jax.Array:
+    """Device-side input assembly: stack channels (+ frame-mixup pixel
+    blending, + segmented-batch window expansion). Returns x (B,H,W,C)
+    f32 in [0,1]."""
     rgb = batch.get("rgb")
     diff = batch.get("diff")
     median = batch.get("median")
@@ -108,49 +104,103 @@ def assemble_tracknet_batch(batch: Dict[str, jax.Array], bg_mode: str):
             rgb = _blend_slots(rgb, pair, pix_w)
         if diff is not None:
             diff = _blend_slots(diff, pair, pix_w)
-        x = window_channels(rgb, diff, median, bg_mode)
-        h, w = x.shape[-3:-1]
+    return window_channels(rgb, diff, median, bg_mode)
+
+
+def assemble_tracknet_labels(batch: Dict[str, jax.Array], h: int, w: int) -> jax.Array:
+    """Materialized label heatmaps y (B, h, w, L) (XLA path)."""
+    if "mix_pair" in batch:
         centers = batch["mix_centers"]  # (B, L, 2, 2)
         hm_w = batch["mix_hm_w"].astype(jnp.float32)[..., None, None]
         map_a = make_heatmaps(centers[..., 0, 0], centers[..., 0, 1], h, w)
         map_b = make_heatmaps(centers[..., 1, 0], centers[..., 1, 1], h, w)
         maps = map_a * hm_w + map_b * (1.0 - hm_w)
     else:
-        x = window_channels(rgb, diff, median, bg_mode)
         cxcy = batch["cxcy"]
-        h, w = x.shape[-3:-1]
         maps = make_heatmaps(cxcy[..., 0], cxcy[..., 1], h, w)  # (B, L, h, w)
-    y = jnp.moveaxis(maps, 1, -1)  # (B, h, w, L)
-    return x, y
+    return jnp.moveaxis(maps, 1, -1)  # (B, h, w, L)
+
+
+def assemble_tracknet_batch(batch: Dict[str, jax.Array], bg_mode: str):
+    """Input + materialized-label assembly (XLA path; the Pallas loss path
+    skips the label tensor entirely)."""
+    x = assemble_tracknet_inputs(batch, bg_mode)
+    h, w = x.shape[-3:-1]
+    return x, assemble_tracknet_labels(batch, h, w)
+
+
+def sample_mixup_inputs(rng, x, alpha: float):
+    """Per-sample Beta(alpha, alpha) mixup of the inputs; returns the
+    (perm, lam) needed to mix the targets the same way
+    (reference: train.py:19-40)."""
+    B = x.shape[0]
+    r_lam, r_perm = jax.random.split(rng)
+    lam = jnp.maximum(
+        (l := jax.random.beta(r_lam, alpha, alpha, (B,))), 1.0 - l
+    )
+    perm = jax.random.permutation(r_perm, B)
+    lx = lam.reshape((B,) + (1,) * (x.ndim - 1))
+    return x * lx + x[perm] * (1.0 - lx), perm, lam
 
 
 def sample_mixup(rng, x, y, alpha: float):
-    """Per-sample Beta(alpha, alpha) mixup (reference: train.py:19-40)."""
-    B = x.shape[0]
-    r_lam, r_perm = jax.random.split(rng)
-    lam = jax.random.beta(r_lam, alpha, alpha, (B,))
-    lam = jnp.maximum(lam, 1.0 - lam)
-    perm = jax.random.permutation(r_perm, B)
-    lx = lam.reshape((B,) + (1,) * (x.ndim - 1))
-    ly = lam.reshape((B,) + (1,) * (y.ndim - 1))
-    x_mix = x * lx + x[perm] * (1.0 - lx)
-    y_mix = y * ly + y[perm] * (1.0 - ly)
-    return x_mix, y_mix
+    """Input+target mixup (XLA path)."""
+    x_mix, perm, lam = sample_mixup_inputs(rng, x, alpha)
+    ly = lam.reshape((y.shape[0],) + (1,) * (y.ndim - 1))
+    return x_mix, y * ly + y[perm] * (1.0 - ly)
 
 
-def make_tracknet_train_step(model, tx, bg_mode: str, alpha: float):
+def make_tracknet_train_step(
+    model, tx, bg_mode: str, alpha: float, pallas_loss: Optional[bool] = None
+):
+    """Jitted TrackNet train step.
+
+    With ``pallas_loss`` (default: on TPU backends) the WBCE is computed
+    by the fused virtual-label Pallas kernel (ops/pallas_wbce.py) - the
+    (B, H, W, L) label tensor never exists. Falls back to the XLA
+    composition on other backends, when both mixup modes are active at
+    once, or when H is not a multiple of the kernel's row tile.
+    """
     from ..models.fused_forward import tracknet_train_forward
+    from ..ops import pallas_wbce as pw
+
+    if pallas_loss is None:
+        pallas_loss = jax.default_backend() == "tpu"
 
     @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch, rng) -> Tuple[TrainState, jax.Array]:
-        x, y = assemble_tracknet_batch(batch, bg_mode)
+        frame_mix = "mix_pair" in batch
+        x = assemble_tracknet_inputs(batch, bg_mode)
+        h, w = x.shape[-3:-1]
+        use_pallas = (
+            pallas_loss and not (frame_mix and alpha > 0) and h % pw._ROW_TILE == 0
+        )
+
+        perm = lam = None
         if alpha > 0:
-            x, y = sample_mixup(rng, x, y, alpha)
+            x, perm, lam = sample_mixup_inputs(rng, x, alpha)
+
+        if use_pallas:
+            if frame_mix:
+                targets = pw.pack_frame_mixup_targets(
+                    batch["mix_centers"], batch["mix_hm_w"]
+                )
+            elif alpha > 0:
+                targets = pw.pack_mixup_targets(batch["cxcy"], perm, lam)
+            else:
+                targets = pw.pack_plain_targets(batch["cxcy"])
+        else:
+            y = assemble_tracknet_labels(batch, h, w)
+            if alpha > 0:
+                ly = lam.reshape((y.shape[0],) + (1,) * (y.ndim - 1))
+                y = y * ly + y[perm] * (1.0 - ly)
 
         def loss_fn(params):
             logits, new_stats = tracknet_train_forward(
                 params, state.batch_stats, x, train=True
             )
+            if use_pallas:
+                return pw.wbce_disk_loss(logits, *targets), new_stats
             return wbce_from_logits(logits, y), new_stats
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(

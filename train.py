@@ -29,14 +29,20 @@ def main():
     parser.add_argument("--num_devices", type=int, default=None, help="data-parallel width (default: single device)")
     parser.add_argument("--segment_windows", type=int, default=1,
                         help=">1 batches consecutive windows per segment, shipping shared frames once (less H2D traffic)")
+    parser.add_argument("--profile", type=str, default="",
+                        help="capture a jax.profiler trace into this directory")
     args = parser.parse_args()
 
     from tracknetv3_tpu.config import TrainConfig
     from tracknetv3_tpu.training.loop import train
+    from tracknetv3_tpu.utils.profiling import trace
 
-    cfg_kwargs = {k: v for k, v in vars(args).items() if k != "data_dir"}
+    cfg_kwargs = {
+        k: v for k, v in vars(args).items() if k not in ("data_dir", "profile")
+    }
     cfg = TrainConfig(**cfg_kwargs)
-    train(cfg, data_dir=args.data_dir)
+    with trace(args.profile or None):
+        train(cfg, data_dir=args.data_dir)
     print("Done......")
 
 
