@@ -23,8 +23,38 @@ def main():
         default="corrected_test_label",
         help="repo-shipped corrected test labels to install",
     )
+    parser.add_argument(
+        "--regenerate_medians",
+        action="store_true",
+        default=False,
+        help="recompute every rally and match median from the videos "
+        "(reference: utils/general.py:527-537)",
+    )
     args = parser.parse_args()
     data_dir = args.data_dir
+
+    if args.regenerate_medians:
+        from tracknetv3_tpu.utils.io import (
+            get_match_median,
+            get_rally_median,
+            list_dirs,
+        )
+
+        for split in ("train", "val", "test"):
+            split_dir = os.path.join(data_dir, split)
+            if not os.path.isdir(split_dir):
+                continue
+            for match_dir in list_dirs(split_dir):
+                video_dir = os.path.join(match_dir, "video")
+                if not os.path.isdir(video_dir):
+                    continue
+                for video_file in list_dirs(video_dir):
+                    if video_file.endswith(".mp4"):
+                        print(f"Processing {video_file}...")
+                        get_rally_median(video_file)
+                get_match_median(match_dir)
+        print("Medians regenerated.")
+        return
 
     import numpy as np
     import pandas as pd

@@ -45,8 +45,8 @@ def save_checkpoint(
         scheduler=_to_numpy(scheduler) if scheduler is not None else None,
         param_dict=dict(param_dict or {}),
     )
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
+    tmp = f"{path}.tmp{os.getpid()}"  # unique per process: concurrent
+    with open(tmp, "wb") as f:  # writers must not race on the rename
         pickle.dump(ckpt, f, protocol=pickle.HIGHEST_PROTOCOL)
     os.replace(tmp, path)
 
