@@ -85,6 +85,53 @@ def test_short_video_fewer_windows_than_seq_len():
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+def test_chunked_stateless_matches_offline():
+    """ensemble_chunk over overlapped chunks == the offline ensemble."""
+    from tracknetv3_tpu.ops.ensemble import ensemble_chunk
+
+    rng = np.random.default_rng(3)
+    T, L, B = 41, 8, 16
+    S = T - L + 1
+    windows = rng.uniform(0, 1, size=(S, L, 4)).astype(np.float32)
+    w = jnp.asarray(get_ensemble_weight(L, "weight"))
+    offline = np.asarray(ensemble_offline(jnp.asarray(windows), w))[:T]
+
+    got = []
+    for t0 in range(0, T, B):
+        # rows k = window t0-L+1+k; out-of-range rows are garbage (zeros
+        # here) and masked inside ensemble_chunk
+        rows = []
+        for k in range(B + L - 1):
+            wi = t0 - L + 1 + k
+            rows.append(windows[wi] if 0 <= wi < S else np.zeros((L, 4), np.float32))
+        chunk = jnp.asarray(np.stack(rows))
+        out = np.asarray(ensemble_chunk(chunk, w, jnp.int32(t0), jnp.int32(S)))
+        got.append(out[: min(B, T - t0)])
+    got = np.concatenate(got)
+    np.testing.assert_allclose(got, offline, atol=1e-5)
+
+
+def test_chunk_garbage_rows_do_not_leak():
+    """Out-of-range window rows must not affect valid frames."""
+    from tracknetv3_tpu.ops.ensemble import ensemble_chunk
+
+    rng = np.random.default_rng(4)
+    L, B, S = 4, 6, 20
+    w = jnp.asarray(get_ensemble_weight(L, "average"))
+    t0 = 0
+    rows_clean = np.zeros((B + L - 1, L, 2), np.float32)
+    rows_dirty = rng.uniform(5, 9, size=(B + L - 1, L, 2)).astype(np.float32)
+    for k in range(B + L - 1):
+        wi = t0 - L + 1 + k
+        if 0 <= wi < S:
+            v = rng.uniform(0, 1, size=(L, 2)).astype(np.float32)
+            rows_clean[k] = v
+            rows_dirty[k] = v
+    a = np.asarray(ensemble_chunk(jnp.asarray(rows_clean), w, jnp.int32(t0), jnp.int32(S)))
+    b = np.asarray(ensemble_chunk(jnp.asarray(rows_dirty), w, jnp.int32(t0), jnp.int32(S)))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
 def test_constant_input_is_identity():
     S, L = 20, 8
     windows = np.full((S, L, 3, 3), 0.42, np.float32)

@@ -76,6 +76,7 @@ class TrackNetPredictor:
         self._overlap_step_resident = jax.jit(self._overlap_step_resident_impl)
         self._overlap_step_preresized = jax.jit(self._overlap_step_preresized_impl)
         self._nonoverlap_step = jax.jit(self._nonoverlap_step_impl)
+        self._nonoverlap_step_resident = jax.jit(self._nonoverlap_step_resident_impl)
 
     # ----------------------------- device steps -----------------------------
 
@@ -161,6 +162,19 @@ class TrackNetPredictor:
         flat = wins.reshape((B * L,) + wins.shape[2:])
         return decode_heatmaps(flat)
 
+    def _nonoverlap_step_resident_impl(self, all_frames, median, w0, num_frames):
+        """Nonoverlap chunk against a resident padded buffer: windows
+        w0..w0+B-1 (start frames clipped at the video bounds like the
+        reference's repeat-last-frame padding). Packed (B*L, 3) output."""
+        L, B = self.seq_len, self.batch_size
+        starts = jnp.clip(
+            (w0 + jnp.arange(B)) * L, 0, jnp.maximum(num_frames - 1, 0)
+        ) + (L - 1)  # account for the front padding
+        wins = self._forward_windows(all_frames, median, starts)
+        flat = wins.reshape((B * L,) + wins.shape[2:])
+        dec = decode_heatmaps(flat)
+        return jnp.stack([dec["cx"], dec["cy"], dec["vis"]], axis=-1)
+
     # ----------------------------- host pipeline ----------------------------
 
     def predict_frames(
@@ -171,39 +185,11 @@ class TrackNetPredictor:
     ) -> Dict[str, list]:
         """TrackNet stage over an in-memory RGB uint8 array (T, H0, W0, 3).
 
-        Overlap mode ships the whole padded video to the device in one
-        transfer and runs resident-buffer chunks (see
-        _overlap_step_resident_impl for why)."""
-        T = frames.shape[0]
-        if self.eval_mode != "nonoverlap":
-            # median (if needed) is computed on device from the staged buffer
-            return self._predict_frames_resident(frames, median, img_scaler)
-        if median is None and self.bg_mode:
-            median = np.median(frames.astype(np.float32), axis=0)
-
-        def chunks() -> Iterator[Tuple[np.ndarray, int, int]]:
-            L, B = self.seq_len, self.batch_size
-            if self.eval_mode == "nonoverlap":
-                n_win = -(-T // L)  # padded final window
-                for s in range(0, n_win, B):
-                    b = min(B, n_win - s)
-                    idx = np.arange(s * L, (s + b) * L)
-                    idx = np.clip(idx, 0, T - 1)
-                    chunk = frames[idx]
-                    if b < B:  # pad to full batch shape
-                        pad = np.repeat(chunk[-L:], B - b, axis=0).reshape(
-                            (B - b) * L, *chunk.shape[1:]
-                        )
-                        chunk = np.concatenate([chunk, pad], axis=0)
-                    yield chunk, 0, b * L
-            else:
-                for t0 in range(0, T, B):
-                    idx = np.clip(
-                        np.arange(t0 - L + 1, t0 + B + L - 1), 0, T - 1
-                    )
-                    yield frames[idx], t0, min(B, T - t0)
-
-        return self._run_pipeline(chunks(), T, median, img_scaler)
+        Both eval modes ship the whole padded video to the device in one
+        transfer and run resident-buffer chunks (see
+        _overlap_step_resident_impl for why); any needed median background
+        is computed on device from the staged frames."""
+        return self._predict_frames_resident(frames, median, img_scaler)
 
     def upload_frames(self, frames: np.ndarray):
         """One bulk H2D transfer of the raw video (do this before any
@@ -244,20 +230,29 @@ class TrackNetPredictor:
         return med(all_dev)
 
     def run_resident(self, all_dev, T: int, median, img_scaler=(1.0, 1.0)):
-        """Run all overlap chunks against a staged buffer."""
-        B = self.batch_size
+        """Run all chunks against a staged buffer (both eval modes)."""
+        L, B = self.seq_len, self.batch_size
         med_dev = (
             jnp.asarray(median, jnp.float32)
             if median is not None
             else jnp.zeros((1, 1, 3))
         )
-        S_dev = jnp.int32(max(T - self.seq_len + 1, 1))
         results = []
-        for t0 in range(0, T, B):
-            packed = self._overlap_step_resident(
-                all_dev, med_dev, jnp.int32(t0), S_dev
-            )
-            results.append((packed, min(B, T - t0)))
+        if self.eval_mode == "nonoverlap":
+            n_win = -(-T // L)
+            T_dev = jnp.int32(T)
+            for w0 in range(0, n_win, B):
+                packed = self._nonoverlap_step_resident(
+                    all_dev, med_dev, jnp.int32(w0), T_dev
+                )
+                results.append((packed, min(B, n_win - w0) * L))
+        else:
+            S_dev = jnp.int32(max(T - L + 1, 1))
+            for t0 in range(0, T, B):
+                packed = self._overlap_step_resident(
+                    all_dev, med_dev, jnp.int32(t0), S_dev
+                )
+                results.append((packed, min(B, T - t0)))
         return self._collect_packed(results, T, img_scaler)
 
     def _predict_frames_resident(self, frames, median, img_scaler):
