@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -37,7 +37,6 @@ from ..utils.io import (
 )
 from .metrics import (
     classify_detections,
-    confusion_from_types,
     gt_center_from_label,
     metrics_dict,
 )

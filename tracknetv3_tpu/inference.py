@@ -8,11 +8,13 @@ reference at ~25 FPS.
 
 TPU-native engine: ONE jitted device program per chunk fuses
   uint8 frames -> resize/bg-mode/window assembly -> U-Net forward ->
-  streaming ring-buffer ensemble -> flood-fill coordinate decode,
+  stateless anti-diagonal temporal ensemble -> flood-fill coordinate
+  decode,
 so the only host work is video decode (cv2/ffmpeg) and a few scalars of
-D2H per frame. A background prefetch thread overlaps video decode with
-device compute. Each frame is resized and run through the network exactly
-once regardless of eval_mode.
+D2H per chunk. In-memory videos are shipped to the device in a single
+bulk transfer and processed against the resident buffer; streaming videos
+are host-resized so only model-resolution uint8 crosses the link, with a
+background prefetch thread overlapping decode and compute.
 """
 
 from __future__ import annotations
@@ -26,9 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import COOR_TH, HEIGHT, WIDTH
-from .models import get_model
 from .ops.detect import decode_heatmaps
-from .ops.ensemble import ensemble_chunk, ensemble_offline, get_ensemble_weight
+from .ops.ensemble import ensemble_chunk, get_ensemble_weight
 from .ops.postprocess import generate_inpaint_mask
 from .ops.preprocess import make_window_preprocessor
 from .training.checkpoint import load_model_from_checkpoint

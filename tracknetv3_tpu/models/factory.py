@@ -16,7 +16,7 @@ from typing import Any, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..config import HEIGHT, WIDTH, tracknet_in_channels
+from ..config import tracknet_in_channels
 from .inpaintnet import InpaintNet
 from .tracknet import TrackNet
 

@@ -23,7 +23,7 @@ TPU-first design choices (not ports):
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp

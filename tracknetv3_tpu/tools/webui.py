@@ -21,10 +21,7 @@ import json
 import os
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, HTTPServer
-from typing import Dict, List, Optional
-
-import numpy as np
-import pandas as pd
+from typing import Dict, Optional
 
 PAGE = """<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>{title}</title>
