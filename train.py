@@ -31,14 +31,23 @@ def main():
                         help=">1 batches consecutive windows per segment, shipping shared frames once (less H2D traffic)")
     parser.add_argument("--profile", type=str, default="",
                         help="capture a jax.profiler trace into this directory")
+    parser.add_argument("--multihost", action="store_true", default=False,
+                        help="initialize jax.distributed for multi-host training "
+                        "(coordinator/process env vars per JAX conventions); the "
+                        "data mesh then spans all hosts")
     args = parser.parse_args()
+
+    if args.multihost:
+        import jax
+
+        jax.distributed.initialize()
 
     from tracknetv3_tpu.config import TrainConfig
     from tracknetv3_tpu.training.loop import train
     from tracknetv3_tpu.utils.profiling import trace
 
     cfg_kwargs = {
-        k: v for k, v in vars(args).items() if k not in ("data_dir", "profile")
+        k: v for k, v in vars(args).items() if k not in ("data_dir", "profile", "multihost")
     }
     cfg = TrainConfig(**cfg_kwargs)
     with trace(args.profile or None):
