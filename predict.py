@@ -22,6 +22,14 @@ def main():
     parser.add_argument("--large_video", action="store_true", default=False, help="stream the video instead of loading it into RAM")
     parser.add_argument("--output_video", action="store_true", default=False, help="write video overlaid with the predicted trajectory")
     parser.add_argument("--traj_len", type=int, default=8, help="length of drawn trajectory comet")
+    parser.add_argument(
+        "--device_resize",
+        action="store_true",
+        default=False,
+        help="ship raw frames and resize on device with the PIL-bicubic-matched "
+        "kernel (reference-exact resize; slower staging) instead of the default "
+        "host INTER_LINEAR resize during decode",
+    )
     parser.add_argument("--profile", type=str, default="", help="capture a jax.profiler trace into this directory")
     args = parser.parse_args()
 
@@ -47,6 +55,7 @@ def _run_predict(args):
         save_dir=args.save_dir,
         output_video=args.output_video,
         traj_len=args.traj_len,
+        device_resize=args.device_resize,
     )
 
 

@@ -74,3 +74,17 @@ def test_train_forward_is_differentiable():
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
     assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
+
+
+def test_subpixel_up_conv_matches_naive():
+    """The subpixel-decomposed up blocks must equal the upsample+concat
+    form (same math, 2.25x fewer MACs on the upsampled half)."""
+    model, variables, x = _setup(seq_len=3, bg_mode="")
+    folded = fold_batchnorm(variables)
+    ref = tracknet_fused_forward(folded, x, subpixel=False, dtype=jnp.float32)
+    got = tracknet_fused_forward(folded, x, subpixel=True, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    # and in the production bf16 path
+    ref16 = tracknet_fused_forward(folded, x, subpixel=False)
+    got16 = tracknet_fused_forward(folded, x, subpixel=True)
+    np.testing.assert_allclose(np.asarray(got16), np.asarray(ref16), atol=5e-3)

@@ -1,0 +1,199 @@
+"""Staged-video inference path: carried-tail chunk loop, BGR device flip,
+host-resize staging, exact u8 median.
+
+The staged path (inference.StagedVideo / run_staged) is the production
+video-predict pipeline: host-resized frames staged once, every window
+forwarded exactly once with the ensemble tail carried across chunks.
+These tests pin it against the straightforward whole-video computation
+(forward all windows -> ensemble_offline -> decode) on a tiny model at a
+monkeypatched model resolution.
+"""
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tracknetv3_tpu.inference as inf
+from tracknetv3_tpu.models import get_model
+from tracknetv3_tpu.ops.detect import decode_heatmaps
+from tracknetv3_tpu.ops.ensemble import ensemble_offline, get_ensemble_weight
+from tracknetv3_tpu.ops.preprocess import make_staged_preprocessor, median_of_u8_stack
+from tracknetv3_tpu.training.checkpoint import save_checkpoint
+
+H, W = 32, 64  # tiny model resolution for CPU-speed tests
+L = 3
+
+
+@pytest.fixture()
+def small_res(monkeypatch):
+    monkeypatch.setattr(inf, "HEIGHT", H)
+    monkeypatch.setattr(inf, "WIDTH", W)
+
+
+def _make_predictor(tmp_path, bg_mode="concat", eval_mode="weight", batch_size=4):
+    model, variables = get_model("TrackNet", L, bg_mode)
+    path = str(tmp_path / f"tn_{bg_mode or 'none'}.pt")
+    save_checkpoint(
+        path,
+        epoch=0,
+        max_val_acc=0.0,
+        model=variables,
+        param_dict=dict(model_name="TrackNet", seq_len=L, bg_mode=bg_mode),
+    )
+    return inf.TrackNetPredictor(path, eval_mode=eval_mode, batch_size=batch_size)
+
+
+def _staged_from_buf(p, buf_u8, bgr=False):
+    buf = jnp.asarray(buf_u8)
+    median = p._median_staged(buf, None) if p.bg_mode else None
+    return inf.StagedVideo(buf=buf, T=int(buf.shape[0]), median=median, bgr=bgr,
+                           src_wh=(W, H))
+
+
+def _offline_reference(p, staged):
+    """Forward ALL windows at once -> ensemble_offline -> decode."""
+    T = staged.T
+    S = max(T - L + 1, 1)
+    pre = make_staged_preprocessor(p.bg_mode, L, staged.bgr)
+    med = staged.median if staged.median is not None else jnp.zeros((H, W, 3))
+    x = pre(staged.buf, med, jnp.arange(S))
+    from tracknetv3_tpu.models.fused_forward import tracknet_fused_forward
+
+    probs = tracknet_fused_forward(p._folded, x)
+    wins = jnp.moveaxis(probs, -1, 1)
+    weights = jnp.asarray(get_ensemble_weight(L, p.eval_mode))
+    frames = ensemble_offline(wins, weights)[:T]
+    dec = decode_heatmaps(frames)
+    return (
+        np.asarray(dec["cx"]),
+        np.asarray(dec["cy"]),
+        np.asarray(dec["vis"]),
+    )
+
+
+@pytest.mark.parametrize("bg_mode", ["concat", "", "subtract"])
+def test_run_staged_matches_offline(tmp_path, small_res, bg_mode):
+    # T=23 with batch_size=4 exercises full chunks, a partial final chunk
+    # (n_valid < B), and the flush tail.
+    p = _make_predictor(tmp_path, bg_mode=bg_mode)
+    rng = np.random.default_rng(3)
+    buf = rng.integers(0, 255, (23, H, W, 3), np.uint8)
+    staged = _staged_from_buf(p, buf)
+    pred = p.run_staged(staged, img_scaler=(1.0, 1.0))
+    cx, cy, vis = _offline_reference(p, staged)
+    assert pred["Frame"] == list(range(23))
+    np.testing.assert_array_equal(pred["X"], cx)
+    np.testing.assert_array_equal(pred["Y"], cy)
+    np.testing.assert_array_equal(pred["Visibility"], vis)
+
+
+def test_run_staged_bgr_flip_equivalence(tmp_path, small_res):
+    p = _make_predictor(tmp_path, bg_mode="concat")
+    rng = np.random.default_rng(4)
+    rgb = rng.integers(0, 255, (11, H, W, 3), np.uint8)
+    pred_rgb = p.run_staged(_staged_from_buf(p, rgb, bgr=False), img_scaler=(1, 1))
+    pred_bgr = p.run_staged(
+        _staged_from_buf(p, rgb[..., ::-1], bgr=True), img_scaler=(1, 1)
+    )
+    assert pred_rgb == pred_bgr
+
+
+def test_run_staged_nonoverlap_matches_offline(tmp_path, small_res):
+    p = _make_predictor(tmp_path, bg_mode="concat", eval_mode="nonoverlap",
+                        batch_size=2)
+    rng = np.random.default_rng(5)
+    T = 14  # not a multiple of L: last window repeats the final frame
+    buf = rng.integers(0, 255, (T, H, W, 3), np.uint8)
+    staged = _staged_from_buf(p, buf)
+    pred = p.run_staged(staged, img_scaler=(1.0, 1.0))
+
+    # direct: window starts 0, L, 2L, ... with repeat-last-frame padding
+    pre = make_staged_preprocessor(p.bg_mode, L, False)
+    n_win = -(-T // L)
+    x = pre(staged.buf, staged.median, jnp.arange(n_win) * L)
+    from tracknetv3_tpu.models.fused_forward import tracknet_fused_forward
+
+    probs = tracknet_fused_forward(p._folded, x)
+    flat = jnp.moveaxis(probs, -1, 1).reshape((-1, H, W))[:T]
+    dec = decode_heatmaps(flat)
+    np.testing.assert_array_equal(pred["X"], np.asarray(dec["cx"]))
+    np.testing.assert_array_equal(pred["Y"], np.asarray(dec["cy"]))
+    assert len(pred["Frame"]) == T
+
+
+@pytest.mark.parametrize("T", [7, 8])
+def test_median_of_u8_stack_exact(T):
+    rng = np.random.default_rng(6)
+    frames = rng.integers(0, 255, (T, 5, 6, 3), np.uint8)
+    got = np.asarray(median_of_u8_stack(jnp.asarray(frames)))
+    want = np.median(frames.astype(np.float32), axis=0)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_median_staged_sampling(tmp_path, small_res):
+    p = _make_predictor(tmp_path, bg_mode="concat")
+    rng = np.random.default_rng(7)
+    buf = jnp.asarray(rng.integers(0, 255, (20, H, W, 3), np.uint8))
+    full = np.asarray(p._median_staged(buf, None))
+    np.testing.assert_array_equal(
+        full, np.median(np.asarray(buf).astype(np.float32), axis=0)
+    )
+    sampled = np.asarray(p._median_staged(buf, 5))
+    want = np.median(np.asarray(buf)[::4][:5].astype(np.float32), axis=0)
+    np.testing.assert_array_equal(sampled, want)
+
+
+def test_stage_video_matches_stage_frames_host(tmp_path, small_res):
+    """stage_video (BGR decode + device flip) and stage_frames_host (RGB
+    in-memory) must produce identical predictions for the same video."""
+    p = _make_predictor(tmp_path, bg_mode="concat")
+    rng = np.random.default_rng(8)
+    # source video at 2x model res; smooth content so mp4 is ~lossless
+    T, sh, sw = 10, 2 * H, 2 * W
+    base = np.zeros((sh, sw, 3), np.uint8)
+    base[:, :, 1] = np.linspace(30, 200, sw, dtype=np.uint8)[None, :]
+    frames = np.repeat(base[None], T, axis=0)
+    for t in range(T):
+        frames[t, 10 + t : 14 + t, 20 + 2 * t : 24 + 2 * t] = 255
+    path = str(tmp_path / "clip.mp4")
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30, (sw, sh))
+    for f in frames:
+        vw.write(f[..., ::-1])
+    vw.release()
+
+    staged_v = p.stage_video(path)
+    assert staged_v.T == T and staged_v.bgr and staged_v.src_wh == (sw, sh)
+    pred_v = p.run_staged(staged_v)
+
+    # decode the SAME mp4 (codec-lossy) and stage the RGB frames directly
+    cap = cv2.VideoCapture(path)
+    decoded = []
+    while True:
+        ok, f = cap.read()
+        if not ok:
+            break
+        decoded.append(f[..., ::-1])
+    cap.release()
+    staged_f = p.stage_frames_host(np.stack(decoded))
+    assert not staged_f.bgr
+    pred_f = p.run_staged(staged_f)
+    assert pred_v == pred_f
+
+
+def test_streaming_nonoverlap_host_resize_runs(tmp_path, small_res):
+    """--large_video nonoverlap with host resize (VERDICT r1 weak item 7)."""
+    p = _make_predictor(tmp_path, bg_mode="concat", eval_mode="nonoverlap",
+                        batch_size=2)
+    T, sh, sw = 13, 2 * H, 2 * W
+    rng = np.random.default_rng(9)
+    frames = rng.integers(0, 40, (T, sh, sw, 3), np.uint8)
+    path = str(tmp_path / "clip2.mp4")
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30, (sw, sh))
+    for f in frames:
+        vw.write(f[..., ::-1])
+    vw.release()
+    pred = p.predict_video_streaming(path, max_sample_num=8)
+    assert pred["Frame"] == list(range(T))
+    assert len(pred["X"]) == T

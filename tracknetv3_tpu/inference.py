@@ -27,13 +27,42 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from typing import NamedTuple
+
 from .config import COOR_TH, HEIGHT, WIDTH
 from .ops.detect import decode_heatmaps
-from .ops.ensemble import ensemble_chunk, get_ensemble_weight
+from .ops.ensemble import (
+    EnsembleState,
+    ensemble_chunk,
+    ensemble_flush,
+    ensemble_init,
+    ensemble_update_fn,
+    get_ensemble_weight,
+)
 from .ops.postprocess import generate_inpaint_mask
-from .ops.preprocess import make_window_preprocessor
+from .ops.preprocess import (
+    make_staged_preprocessor,
+    make_window_preprocessor,
+    median_of_u8_stack,
+)
 from .training.checkpoint import load_model_from_checkpoint
 from .utils.io import VideoReader, write_pred_csv, write_pred_video
+
+
+class StagedVideo(NamedTuple):
+    """A video staged on device at model resolution.
+
+    All H2D transfers happen during staging because this runtime's bulk
+    transfer path degrades ~30x once any large program has executed (see
+    PROFILE.md); after staging, the chunk loop touches the host only for a
+    few decoded scalars per chunk.
+    """
+
+    buf: jax.Array  # (T, HEIGHT, WIDTH, 3) uint8, model-resolution frames
+    T: int
+    median: Optional[jax.Array]  # (HEIGHT, WIDTH, 3) f32, same channel order
+    bgr: bool  # True if buf/median are BGR as decoded (flipped on device)
+    src_wh: Tuple[int, int]  # original (width, height) for coordinate scaling
 
 
 class TrackNetPredictor:
@@ -78,6 +107,9 @@ class TrackNetPredictor:
         self._overlap_step_preresized = jax.jit(self._overlap_step_preresized_impl)
         self._nonoverlap_step = jax.jit(self._nonoverlap_step_impl)
         self._nonoverlap_step_resident = jax.jit(self._nonoverlap_step_resident_impl)
+        self._nonoverlap_step_preresized = jax.jit(self._nonoverlap_step_preresized_impl)
+        self._staged_steps: Dict[Tuple[bool, str], object] = {}
+        self._staged_flush = jax.jit(self._staged_flush_impl, donate_argnums=(0,))
 
     # ----------------------------- device steps -----------------------------
 
@@ -156,6 +188,37 @@ class TrackNetPredictor:
         dec = decode_heatmaps(frames)
         return jnp.stack([dec["cx"], dec["cy"], dec["vis"]], axis=-1)
 
+    def _nonoverlap_step_preresized_impl(self, rgb, diff, median_resized):
+        """Nonoverlap chunk on host-resized frames (streaming --large_video
+        with eval_mode=nonoverlap; frames arrive in groups of B*L)."""
+        from .ops.preprocess import gather_windows, window_channels
+
+        L = self.seq_len
+        n = (rgb if rgb is not None else diff).shape[0]
+        B = n // L
+        starts = jnp.arange(B) * L
+        rgb_w = (
+            gather_windows(rgb.astype(jnp.float32), starts, L)
+            if rgb is not None
+            else None
+        )
+        diff_w = (
+            gather_windows(diff.astype(jnp.float32), starts, L)
+            if diff is not None
+            else None
+        )
+        med = (
+            median_resized.astype(jnp.float32) if median_resized is not None else None
+        )
+        x = window_channels(rgb_w, diff_w, med, self.bg_mode)
+        from .models.fused_forward import tracknet_fused_forward
+
+        probs = tracknet_fused_forward(self._folded, x)
+        wins = jnp.moveaxis(probs, -1, 1)
+        flat = wins.reshape((B * L,) + wins.shape[2:])
+        dec = decode_heatmaps(flat)
+        return jnp.stack([dec["cx"], dec["cy"], dec["vis"]], axis=-1)
+
     def _nonoverlap_step_impl(self, frames_u8, median):
         L = self.seq_len
         B = frames_u8.shape[0] // L
@@ -176,6 +239,274 @@ class TrackNetPredictor:
         dec = decode_heatmaps(flat)
         return jnp.stack([dec["cx"], dec["cy"], dec["vis"]], axis=-1)
 
+    # ------------------------- staged (resized) path ------------------------
+    #
+    # The fast production path for whole videos (VERDICT r1 item 1): frames
+    # are resized to model resolution ON THE HOST during decode (cv2
+    # INTER_LINEAR, 0.4 ms/frame) so only 0.44 MB/frame crosses the link
+    # (6.25x less than raw 720p, the round-1 driver-variance culprit), BGR
+    # is flipped to RGB on device (a free static slice, saving host
+    # cvtColor), and the temporal ensemble carries its tail state across
+    # chunks so every window is forwarded EXACTLY once (the stateless
+    # ensemble_chunk recomputes L-1 boundary windows per chunk: +22% FLOPs
+    # at B=32). Reference flow being replaced: predict.py:126-209.
+
+    def _staged_step(self, bgr: bool):
+        """Jitted carried-tail overlap chunk for a staged buffer (cached
+        per channel order)."""
+        key = (bgr, "overlap")
+        if key not in self._staged_steps:
+            pre = make_staged_preprocessor(
+                self.bg_mode, self.seq_len, bgr, out_dtype=jnp.bfloat16
+            )
+            B = self.batch_size
+
+            def impl(buf, med, state, w0, n_valid):
+                from .models.fused_forward import tracknet_fused_forward
+
+                x = pre(buf, med, w0 + jnp.arange(B))
+                probs = tracknet_fused_forward(self._folded, x)  # (B, h, w, L)
+                wp = jnp.moveaxis(probs, -1, 1).astype(jnp.float32)
+                state, frames = ensemble_update_fn(
+                    state, wp, self._weights, n_valid
+                )
+                dec = decode_heatmaps(frames)
+                packed = jnp.stack([dec["cx"], dec["cy"], dec["vis"]], axis=-1)
+                return state, packed
+
+            self._staged_steps[key] = jax.jit(impl, donate_argnums=(2,))
+        return self._staged_steps[key]
+
+    def _staged_step_nonoverlap(self, bgr: bool):
+        key = (bgr, "nonoverlap")
+        if key not in self._staged_steps:
+            pre = make_staged_preprocessor(
+                self.bg_mode, self.seq_len, bgr, out_dtype=jnp.bfloat16
+            )
+            L, B = self.seq_len, self.batch_size
+
+            def impl(buf, med, w0):
+                from .models.fused_forward import tracknet_fused_forward
+
+                starts = (w0 + jnp.arange(B)) * L
+                x = pre(buf, med, starts)
+                probs = tracknet_fused_forward(self._folded, x)
+                wins = jnp.moveaxis(probs, -1, 1)  # (B, L, h, w)
+                flat = wins.reshape((B * L,) + wins.shape[2:])
+                dec = decode_heatmaps(flat)
+                return jnp.stack([dec["cx"], dec["cy"], dec["vis"]], axis=-1)
+
+            self._staged_steps[key] = jax.jit(impl)
+        return self._staged_steps[key]
+
+    def _staged_flush_impl(self, state):
+        """Decode the last L-1 ensemble-tail frames."""
+        frames = ensemble_flush(state)
+        dec = decode_heatmaps(frames)
+        return jnp.stack([dec["cx"], dec["cy"], dec["vis"]], axis=-1)
+
+    def _median_staged(self, buf, max_sample_num: Optional[int]):
+        """Exact-np.median background from staged frames, on device.
+
+        Default (None) medians over ALL frames like the reference's
+        in-memory path (reference: predict.py:128-131); a memory guard caps
+        the sorted stack at 4096 model-resolution frames (~1.8 GB)."""
+        T = int(buf.shape[0])
+        k = T if max_sample_num is None else min(int(max_sample_num), T)
+        k = min(k, 4096)
+        if k == T:
+            return median_of_u8_stack(buf)
+        step = max(T // k, 1)
+        idx = jnp.arange(0, T, step)[:k]
+        return median_of_u8_stack(jnp.take(buf, idx, axis=0))
+
+    def upload_video_slabs(
+        self, video_file: str, slab_frames: int = 120
+    ) -> Tuple[List[jax.Array], Tuple[int, int]]:
+        """Decode + host-resize + upload a video (the program-free phase).
+
+        A producer thread decodes and resizes (cv2 INTER_LINEAR, BGR kept -
+        the RGB flip happens on device for free); the main thread ships
+        each slab with ``device_put`` - the RPC releases the GIL, so decode
+        and upload overlap on a single core. Runs NO device program, so it
+        rides the fast H2D path as long as nothing has executed yet.
+        Returns (device slabs, source (w, h))."""
+        import cv2
+
+        cap = cv2.VideoCapture(video_file)
+        if not cap.isOpened():
+            raise FileNotFoundError(video_file)
+        w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+
+        q: "queue.Queue" = queue.Queue(maxsize=8)
+        SENTINEL = object()
+
+        def producer():
+            # NOTE: cv2.resize(dst=slab_view) measures 2x SLOWER than
+            # fresh-allocation resize + np.stack on this host; keep the
+            # simple append form.
+            try:
+                buf: List[np.ndarray] = []
+                while True:
+                    ok, f = cap.read()
+                    if not ok:
+                        break
+                    buf.append(
+                        cv2.resize(
+                            f, (WIDTH, HEIGHT), interpolation=cv2.INTER_LINEAR
+                        )
+                    )
+                    if len(buf) == slab_frames:
+                        q.put(np.stack(buf))
+                        buf = []
+                if buf:
+                    q.put(np.stack(buf))
+                cap.release()
+            finally:
+                q.put(SENTINEL)
+
+        threading.Thread(target=producer, daemon=True).start()
+        slabs = []
+        while True:
+            s = q.get()
+            if s is SENTINEL:
+                break
+            slabs.append(jax.device_put(s))
+        for s in slabs:
+            jax.block_until_ready(s)
+        return slabs, (w, h)
+
+    def stage_video(
+        self,
+        video_file: str,
+        max_sample_num: Optional[int] = None,
+        slab_frames: int = 120,
+        timings: Optional[Dict[str, float]] = None,
+    ) -> StagedVideo:
+        """Decode + host-resize + upload + finalize a video for run_staged.
+
+        MUST run before any device program executes to ride the fast H2D
+        path. The buffer concat + median (small device programs) run at
+        the end; components are reported in ``timings`` if given."""
+        import time
+
+        t0 = time.time()
+        slabs, src_wh = self.upload_video_slabs(video_file, slab_frames)
+        t_upload = time.time() - t0
+
+        t0 = time.time()
+        staged = self.finalize_staged(slabs, bgr=True, src_wh=src_wh,
+                                      max_sample_num=max_sample_num)
+        if timings is not None:
+            timings["upload_s"] = t_upload
+            timings["finalize_s"] = time.time() - t0
+        return staged
+
+    def stage_frames_host(
+        self,
+        frames: np.ndarray,
+        max_sample_num: Optional[int] = None,
+        slab_frames: int = 120,
+    ) -> StagedVideo:
+        """Stage in-memory RGB uint8 frames via host resize + slab upload."""
+        import cv2
+
+        T, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
+        slabs = []
+        for lo in range(0, T, slab_frames):
+            part = frames[lo : lo + slab_frames]
+            resized = np.stack(
+                [
+                    cv2.resize(f, (WIDTH, HEIGHT), interpolation=cv2.INTER_LINEAR)
+                    for f in part
+                ]
+            )
+            slabs.append(jax.device_put(resized))
+        return self.finalize_staged(
+            slabs, bgr=False, src_wh=(w, h), max_sample_num=max_sample_num
+        )
+
+    def finalize_staged(self, slabs, bgr, src_wh, max_sample_num=None):
+        """Concat uploaded slabs into the resident buffer + device median."""
+        buf = jnp.concatenate(slabs, axis=0) if len(slabs) > 1 else slabs[0]
+        T = int(buf.shape[0])
+        median = self._median_staged(buf, max_sample_num) if self.bg_mode else None
+        return StagedVideo(buf=buf, T=T, median=median, bgr=bgr, src_wh=src_wh)
+
+    def warmup_staged(self, staged: StagedVideo):
+        """Compile the staged chunk/flush programs (one dummy chunk each).
+
+        Remote compiles on this runtime take seconds-to-minutes and are
+        process-cached only, so callers that care about timing warm up
+        explicitly; results are discarded."""
+        L, B = self.seq_len, self.batch_size
+        med = self._staged_median_arg(staged)
+        if self.eval_mode == "nonoverlap":
+            step = self._staged_step_nonoverlap(staged.bgr)
+            jax.block_until_ready(step(staged.buf, med, jnp.int32(0)))
+        else:
+            step = self._staged_step(staged.bgr)
+            state = ensemble_init(L, (HEIGHT, WIDTH))
+            state, packed = step(staged.buf, med, state, jnp.int32(0), jnp.int32(B))
+            jax.block_until_ready(self._staged_flush(state))
+
+    def _staged_median_arg(self, staged: StagedVideo):
+        return (
+            staged.median
+            if staged.median is not None
+            else jnp.zeros((HEIGHT, WIDTH, 3), jnp.float32)
+        )
+
+    def run_staged(
+        self,
+        staged: StagedVideo,
+        img_scaler: Optional[Tuple[float, float]] = None,
+    ) -> Dict[str, list]:
+        """Run all chunks over a staged buffer (both eval modes).
+
+        Overlap mode forwards each of the S = T-L+1 windows exactly once,
+        carrying the ensemble tail between chunks (donated buffers); the
+        last L-1 frames come from the flush. Dispatches are queued without
+        intermediate fetches so chunk k+1's launch overlaps chunk k's
+        compute."""
+        T = staged.T
+        L, B = self.seq_len, self.batch_size
+        if img_scaler is None:
+            img_scaler = (staged.src_wh[0] / WIDTH, staged.src_wh[1] / HEIGHT)
+        med = self._staged_median_arg(staged)
+        results = []
+        if self.eval_mode == "nonoverlap":
+            step = self._staged_step_nonoverlap(staged.bgr)
+            n_win = -(-T // L)
+            for w0 in range(0, n_win, B):
+                packed = step(staged.buf, med, jnp.int32(w0))
+                results.append((packed, min(B, n_win - w0) * L))
+        else:
+            step = self._staged_step(staged.bgr)
+            S = max(T - L + 1, 1)
+            state = ensemble_init(L, (HEIGHT, WIDTH))
+            for w0 in range(0, S, B):
+                nv = min(B, S - w0)
+                state, packed = step(
+                    staged.buf, med, state, jnp.int32(w0), jnp.int32(nv)
+                )
+                results.append((packed, nv))
+            tail_packed = self._staged_flush(state)
+            results.append((tail_packed, T - S))
+        # One device-side concat of the valid rows + a SINGLE small fetch:
+        # per-chunk np.asarray would pay one relay round trip each (~35 ms)
+        # even though the data is long since computed.
+        full = jnp.concatenate([p[:nv] for p, nv in results if nv > 0], axis=0)
+        arr = np.asarray(full)[:T]
+        w_s, h_s = img_scaler
+        return {
+            "Frame": list(range(T)),
+            "X": [int(v) for v in (arr[:, 0] * w_s).astype(np.int64)],
+            "Y": [int(v) for v in (arr[:, 1] * h_s).astype(np.int64)],
+            "Visibility": [int(v) for v in arr[:, 2]],
+        }
+
     # ----------------------------- host pipeline ----------------------------
 
     def predict_frames(
@@ -183,14 +514,16 @@ class TrackNetPredictor:
         frames: np.ndarray,
         median: Optional[np.ndarray] = None,
         img_scaler: Tuple[float, float] = (1.0, 1.0),
+        max_sample_num: Optional[int] = None,
     ) -> Dict[str, list]:
         """TrackNet stage over an in-memory RGB uint8 array (T, H0, W0, 3).
 
         Both eval modes ship the whole padded video to the device in one
         transfer and run resident-buffer chunks (see
         _overlap_step_resident_impl for why); any needed median background
-        is computed on device from the staged frames."""
-        return self._predict_frames_resident(frames, median, img_scaler)
+        is computed on device from the staged frames (default: over ALL
+        frames, matching the reference's in-memory path)."""
+        return self._predict_frames_resident(frames, median, img_scaler, max_sample_num)
 
     def upload_frames(self, frames: np.ndarray):
         """One bulk H2D transfer of the raw video (do this before any
@@ -213,20 +546,23 @@ class TrackNetPredictor:
         raw = self.upload_frames(frames)
         return self.build_resident(raw, frames.shape[0])
 
-    def median_of_resident(self, all_dev, T: int, max_sample_num: int = 64):
+    def median_of_resident(self, all_dev, T: int, max_sample_num: Optional[int] = None):
         """Median background from the resident buffer, on device.
 
-        Sample count is modest: the median sort materializes the f32
-        sample stack (~2.8 MB/720p frame), and HBM is shared with the
-        resident video buffer."""
+        Default (None) medians over ALL frames, matching the reference's
+        in-memory path (reference: predict.py:128-131, np.median over the
+        whole frame array). The sort runs in uint8 (exact np.median values,
+        4x less HBM than an f32 stack); a memory guard caps the sorted
+        stack at 1024 720p frames (~2.8 GB)."""
         L = self.seq_len
-        step = max(T // min(max_sample_num, T), 1)
-        idx = jnp.arange(L - 1, L - 1 + T, step)
+        k = T if max_sample_num is None else min(int(max_sample_num), T)
+        k = min(k, 1024)
+        step = max(T // k, 1)
+        idx = jnp.arange(L - 1, L - 1 + T, step)[:k]
 
         @jax.jit
         def med(buf):
-            sample = jnp.take(buf, idx, axis=0).astype(jnp.float32)
-            return jnp.median(sample, axis=0)
+            return median_of_u8_stack(jnp.take(buf, idx, axis=0))
 
         return med(all_dev)
 
@@ -256,11 +592,11 @@ class TrackNetPredictor:
                 results.append((packed, min(B, T - t0)))
         return self._collect_packed(results, T, img_scaler)
 
-    def _predict_frames_resident(self, frames, median, img_scaler):
+    def _predict_frames_resident(self, frames, median, img_scaler, max_sample_num=None):
         """Single-upload overlap pipeline over a device-resident buffer."""
         all_dev, meta = self.stage_frames(frames)
         if median is None and self.bg_mode:
-            median = self.median_of_resident(all_dev, meta["T"])
+            median = self.median_of_resident(all_dev, meta["T"], max_sample_num)
         return self.run_resident(all_dev, meta["T"], median, img_scaler)
 
     @staticmethod
@@ -301,7 +637,7 @@ class TrackNetPredictor:
         T = reader.video_len
         L, B = self.seq_len, self.batch_size
 
-        if host_resize and self.eval_mode != "nonoverlap":
+        if host_resize:
             return self._streaming_host_resize(reader, median, img_scaler)
 
         def chunks() -> Iterator[Tuple[np.ndarray, int, int]]:
@@ -394,37 +730,70 @@ class TrackNetPredictor:
         q: "queue.Queue" = queue.Queue(maxsize=4)
         SENTINEL = object()
 
+        nonoverlap = self.eval_mode == "nonoverlap"
+
         def producer():
             try:
                 reader.seek(0)
                 buf_rgb, buf_diff = [], []
                 base = 0
-                for t0 in range(0, T, B):
-                    hi = min(t0 + B + L - 1, T)
-                    while base + len(buf_rgb) < hi:
-                        f = reader.read()
-                        if f is None:
+                if nonoverlap:
+                    n_win = -(-T // L)
+                    total = n_win * L
+                    emitted = 0
+                    while emitted < total:
+                        while len(buf_rgb) < B * L:
+                            f = reader.read()
+                            if f is None:
+                                break
+                            r, d = process(f)
+                            buf_rgb.append(r)
+                            buf_diff.append(d)
+                        if not buf_rgb:
                             break
-                        r, d = process(f)
-                        buf_rgb.append(r)
-                        buf_diff.append(d)
-                    lo = max(t0 - L + 1, 0)
-                    if lo > base:
-                        buf_rgb = buf_rgb[lo - base :]
-                        buf_diff = buf_diff[lo - base :]
-                        base = lo
-                    idx = np.clip(
-                        np.arange(t0 - L + 1, t0 + B + L - 1) - base,
-                        0,
-                        len(buf_rgb) - 1,
-                    )
-                    rgb = (
-                        np.stack(buf_rgb)[idx] if buf_rgb[0] is not None else None
-                    )
-                    diff = (
-                        np.stack(buf_diff)[idx] if buf_diff[0] is not None else None
-                    )
-                    q.put((rgb, diff, t0, min(B, T - t0)))
+                        valid = min(len(buf_rgb), total - emitted)
+
+                        def pad(lst):
+                            if lst[0] is None:
+                                return None
+                            chunk = list(lst[: B * L])
+                            while len(chunk) < B * L:
+                                chunk.append(chunk[-1])
+                            return np.stack(chunk)
+
+                        q.put((pad(buf_rgb), pad(buf_diff), None, valid))
+                        emitted += B * L
+                        buf_rgb = buf_rgb[B * L :]
+                        buf_diff = buf_diff[B * L :]
+                else:
+                    for t0 in range(0, T, B):
+                        hi = min(t0 + B + L - 1, T)
+                        while base + len(buf_rgb) < hi:
+                            f = reader.read()
+                            if f is None:
+                                break
+                            r, d = process(f)
+                            buf_rgb.append(r)
+                            buf_diff.append(d)
+                        lo = max(t0 - L + 1, 0)
+                        if lo > base:
+                            buf_rgb = buf_rgb[lo - base :]
+                            buf_diff = buf_diff[lo - base :]
+                            base = lo
+                        idx = np.clip(
+                            np.arange(t0 - L + 1, t0 + B + L - 1) - base,
+                            0,
+                            len(buf_rgb) - 1,
+                        )
+                        rgb = (
+                            np.stack(buf_rgb)[idx] if buf_rgb[0] is not None else None
+                        )
+                        diff = (
+                            np.stack(buf_diff)[idx]
+                            if buf_diff[0] is not None
+                            else None
+                        )
+                        q.put((rgb, diff, t0, min(B, T - t0)))
                 reader.release()
             finally:
                 q.put(SENTINEL)
@@ -438,13 +807,14 @@ class TrackNetPredictor:
             if item is SENTINEL:
                 break
             rgb, diff, t0, n_valid = item
-            packed = self._overlap_step_preresized(
-                jnp.asarray(rgb) if rgb is not None else None,
-                jnp.asarray(diff) if diff is not None else None,
-                med_resized,
-                jnp.int32(t0),
-                S_dev,
-            )
+            rgb_d = jnp.asarray(rgb) if rgb is not None else None
+            diff_d = jnp.asarray(diff) if diff is not None else None
+            if nonoverlap:
+                packed = self._nonoverlap_step_preresized(rgb_d, diff_d, med_resized)
+            else:
+                packed = self._overlap_step_preresized(
+                    rgb_d, diff_d, med_resized, jnp.int32(t0), S_dev
+                )
             results.append((packed, n_valid))
         return self._collect_packed(results, T, img_scaler)
 
@@ -603,8 +973,16 @@ def predict_video(
     output_video: bool = False,
     traj_len: int = 8,
     video_name: Optional[str] = None,
+    device_resize: bool = False,
 ) -> Dict[str, list]:
-    """Full predict CLI flow (reference: predict.py:71-312)."""
+    """Full predict CLI flow (reference: predict.py:71-312).
+
+    Default path stages the whole video on device at model resolution
+    (host INTER_LINEAR resize during decode); ``device_resize=True``
+    instead ships raw frames and resizes on device with the
+    PIL-bicubic-matched kernel (reference-exact resize semantics, ~6x
+    more H2D traffic); ``large_video`` streams with bounded memory.
+    """
     import os
 
     predictor = TrackNetPredictor(
@@ -621,10 +999,17 @@ def predict_video(
         pred = predictor.predict_video_streaming(
             video_file, max_sample_num=max_sample_num, video_range=video_range
         )
-    else:
+    elif device_resize:
+        # In-memory paths median over ALL frames like the reference's
+        # in-memory flow (predict.py:128-131); max_sample_num only bounds
+        # the streaming path's median, as in the reference.
         frames = reader.read_all()
         reader.release()
         pred = predictor.predict_frames(frames, img_scaler=img_scaler)
+    else:
+        reader.release()
+        staged = predictor.stage_video(video_file)
+        pred = predictor.run_staged(staged, img_scaler=img_scaler)
 
     if predictor.inpaintnet is not None:
         pred = predictor.inpaint_trajectory(pred, (w, h))

@@ -91,6 +91,78 @@ def _up2x(x):
     return x.reshape(n, h * 2, w * 2, c)
 
 
+def _subpixel_kernels(k):
+    """Split a 3x3 kernel meant for a nearest-2x-upsampled input into four
+    2x2 kernels, one per output parity class.
+
+    conv3x3(SAME) on nearest-2x(X) computes, at output (2i+a, 2j+b), a
+    weighted sum of duplicated X values; collapsing the duplicates gives a
+    2x2 conv on X per parity (a, b) - 9/4 = 2.25x fewer MACs, bit-identical
+    math (zero SAME-padding maps to zero padding of X at the borders).
+    """
+    rows = {
+        0: jnp.stack([k[0], k[1] + k[2]], axis=0),  # taps X[i-1], X[i]
+        1: jnp.stack([k[0] + k[1], k[2]], axis=0),  # taps X[i],   X[i+1]
+    }
+    out = {}
+    for a in (0, 1):
+        r = rows[a]  # (2, 3, Ci, Co)
+        out[(a, 0)] = jnp.stack([r[:, 0], r[:, 1] + r[:, 2]], axis=1)
+        out[(a, 1)] = jnp.stack([r[:, 0] + r[:, 1], r[:, 2]], axis=1)
+    return out  # {(a, b): (2, 2, Ci, Co)}
+
+
+def _conv_raw(x, kernel, padding, dtype, out_dtype=None):
+    return jax.lax.conv_general_dilated(
+        x.astype(dtype),
+        kernel.astype(dtype),
+        window_strides=(1, 1),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=out_dtype or jnp.float32,
+    )
+
+
+def _up_block_fused(x_small, skip, convs, dtype):
+    """First conv of an up block computed WITHOUT materializing the 2x
+    nearest-upsample: conv(concat([up2x(x), skip])) = subpixel-conv(x)
+    + conv(skip), splitting the kernel along its input channels. Saves
+    2.25x on the upsampled half's MACs (16% of the whole forward across
+    the three up blocks). Exactly equivalent to the reference topology
+    (model.py:57-73: Upsample -> concat -> conv block) up to the working
+    dtype's rounding: the parity convs emit ``dtype`` (MXU accumulation is
+    still f32) to halve the interleave's HBM traffic.
+    """
+    (k1, b1) = convs[0]
+    cx = x_small.shape[-1]
+    k1 = jnp.asarray(k1)
+    kx, ks = k1[:, :, :cx, :], k1[:, :, cx:, :]
+
+    parts = _subpixel_kernels(kx)
+    ys = {
+        (a, b): _conv_raw(
+            x_small, parts[(a, b)], [(1 - a, a), (1 - b, b)], dtype, out_dtype=dtype
+        )
+        for a in (0, 1)
+        for b in (0, 1)
+    }
+    # Interleave parities with trailing-axis stacks + reshape (no transpose).
+    n, h, w, co = ys[(0, 0)].shape
+    row0 = jnp.stack([ys[(0, 0)], ys[(0, 1)]], axis=-2)  # (n, h, w, 2, co)
+    row1 = jnp.stack([ys[(1, 0)], ys[(1, 1)]], axis=-2)
+    y_up = jnp.stack([row0, row1], axis=2).reshape(n, 2 * h, 2 * w, co)
+
+    y = (
+        y_up.astype(jnp.float32)
+        + _conv_raw(skip, ks, "SAME", dtype)
+        + jnp.asarray(b1, jnp.float32)
+    )
+    x = jnp.maximum(y, 0.0).astype(dtype)
+    for kernel, bias in convs[1:]:
+        x = _conv_relu(x, kernel, bias, dtype)
+    return x
+
+
 def tracknet_train_forward(
     params: Dict[str, Any],
     batch_stats: Dict[str, Any],
@@ -187,9 +259,22 @@ def tracknet_fused_forward(
     dtype=jnp.bfloat16,
     apply_sigmoid: bool = True,
     num_stages: int = 7,
+    subpixel: bool = False,
 ) -> jax.Array:
     """Folded-BN TrackNet forward. ``num_stages`` truncates the network
-    (1..7 blocks) for stage-wise profiling; 7 = full model."""
+    (1..7 blocks) for stage-wise profiling; 7 = full model. ``subpixel``
+    computes each up block's first conv directly on the un-upsampled
+    tensor (see _up_block_fused; exactly equivalent, 2.25x fewer MACs on
+    the upsampled half - but measured SLOWER than XLA's plain conv on the
+    upsampled tensor on TPU v5e (176 vs 159 ms at 64 windows): the parity
+    interleave's extra HBM round trip outweighs the MAC saving, so it is
+    off by default and kept for A/B)."""
+
+    def up(x_small, skip, convs):
+        if subpixel:
+            return _up_block_fused(x_small, skip, convs, dtype)
+        return _block(jnp.concatenate([_up2x(x_small), skip], axis=-1), convs, dtype)
+
     x = x.astype(dtype)
     x1 = _block(x, folded["down_block_1"], dtype)
     if num_stages == 1:
@@ -206,16 +291,13 @@ def tracknet_fused_forward(
     x = _block(x, folded["bottleneck"], dtype)
     if num_stages == 4:
         return x
-    x = jnp.concatenate([_up2x(x), x3], axis=-1)
-    x = _block(x, folded["up_block_1"], dtype)
+    x = up(x, x3, folded["up_block_1"])
     if num_stages == 5:
         return x
-    x = jnp.concatenate([_up2x(x), x2], axis=-1)
-    x = _block(x, folded["up_block_2"], dtype)
+    x = up(x, x2, folded["up_block_2"])
     if num_stages == 6:
         return x
-    x = jnp.concatenate([_up2x(x), x1], axis=-1)
-    x = _block(x, folded["up_block_3"], dtype)
+    x = up(x, x1, folded["up_block_3"])
     kernel, bias = folded["predictor"]
     logits = (
         jax.lax.conv_general_dilated(

@@ -76,8 +76,7 @@ def _bshape(v: jax.Array, ndim: int) -> jax.Array:
     return v.reshape(v.shape + (1,) * (ndim - 1))
 
 
-@partial(jax.jit, donate_argnums=(0,))
-def ensemble_update_masked(
+def ensemble_update_fn(
     state: EnsembleState,
     window_preds: jax.Array,
     weights: jax.Array,
@@ -136,6 +135,12 @@ def ensemble_update_masked(
         EnsembleState(new_tail, state.next_frame + n_valid.astype(jnp.int32)),
         frames,
     )
+
+
+# Jitted entry point; the pure ``ensemble_update_fn`` is for callers that
+# compose the update inside their own jitted program (e.g. the carried-tail
+# inference chunk, where donation is applied at the outer jit).
+ensemble_update_masked = partial(jax.jit, donate_argnums=(0,))(ensemble_update_fn)
 
 
 def ensemble_update(

@@ -118,6 +118,45 @@ def median_frame(frames: jax.Array) -> jax.Array:
     return jnp.median(frames.astype(jnp.float32), axis=0)
 
 
+def _radix_select_u8(x: jax.Array, ks) -> list:
+    """k-th smallest (0-based ranks ``ks``) of a uint8 stack along axis 0
+    by MSB-first radix descent: 8 passes over the data instead of a full
+    sort (the pixelwise-median hot path; a sort materializes O(T log^2 T)
+    compare-exchanges, this reads the stack 8 times). Multiple ranks share
+    the per-bit masking work within one fused XLA program."""
+    out = []
+    for k in ks:
+        prefix = jnp.zeros(x.shape[1:], jnp.uint8)
+        decided = jnp.zeros(x.shape[1:], jnp.uint8)  # mask of decided bits
+        rank = jnp.full(x.shape[1:], jnp.int32(k))
+        for bit in range(7, -1, -1):
+            b = jnp.uint8(1 << bit)
+            in_bucket = (x & decided) == prefix  # (T, ...) bool
+            c0 = jnp.sum(in_bucket & ((x & b) == 0), axis=0).astype(jnp.int32)
+            take_hi = rank >= c0
+            prefix = jnp.where(take_hi, prefix | b, prefix)
+            rank = jnp.where(take_hi, rank - c0, rank)
+            decided = decided | b
+        out.append(prefix)
+    return out
+
+
+@jax.jit
+def median_of_u8_stack(frames_u8: jax.Array) -> jax.Array:
+    """Exact ``np.median`` over the leading axis of a uint8 stack, without
+    materializing an f32 copy (4x less HBM) or a full sort (radix select).
+
+    Returns (H, W, 3) float32 - identical values to
+    ``np.median(frames.astype(np.float32), axis=0)``.
+    """
+    T = frames_u8.shape[0]
+    if T % 2 == 1:
+        (m,) = _radix_select_u8(frames_u8, [T // 2])
+        return m.astype(jnp.float32)
+    lo, hi = _radix_select_u8(frames_u8, [T // 2 - 1, T // 2])
+    return (lo.astype(jnp.float32) + hi.astype(jnp.float32)) / 2.0
+
+
 @partial(jax.jit, static_argnames=("bg_mode",))
 def window_channels(
     frames: jax.Array,
@@ -173,6 +212,52 @@ def gather_windows(per_frame: jax.Array, starts: jax.Array, seq_len: int) -> jax
     idx = starts[:, None] + jnp.arange(seq_len)[None, :]  # (B, L)
     idx = jnp.clip(idx, 0, per_frame.shape[0] - 1)
     return jnp.take(per_frame, idx, axis=0)
+
+
+def make_staged_preprocessor(
+    bg_mode: str, seq_len: int, bgr: bool = False, out_dtype=None
+):
+    """Build a jitted (buf_u8, median_resized, starts) -> model-input fn for
+    frames that were ALREADY resized to model resolution on the host.
+
+    ``buf_u8``: (T, HEIGHT, WIDTH, 3) uint8 device-resident resized frames;
+    ``median_resized``: (HEIGHT, WIDTH, 3) f32 in the SAME channel order as
+    ``buf_u8`` (or None); ``starts``: (B,) window start frame indices
+    (clipped into range by the gather - out-of-range windows repeat the
+    last frame, the reference's padding rule). With ``bgr=True`` the buffer
+    holds BGR frames as decoded by cv2 and the channel flip to RGB happens
+    here, on device (a static slice reversal - free), so the host skips
+    cvtColor entirely.
+
+    Semantic note vs the device-raw path (`make_window_preprocessor`): the
+    background difference for the subtract modes is computed at MODEL
+    resolution from resized frames, not at original resolution before the
+    resize (reference: dataset.py:439 does original-res diff). The
+    device-raw path keeps the reference-exact order; this staged path
+    trades that for 6x less host->device traffic.
+    """
+    needs_diff = bg_mode in ("subtract", "subtract_concat")
+    needs_rgb = bg_mode in ("", "subtract_concat", "concat")
+
+    @jax.jit
+    def run(buf_u8, median_resized, starts):
+        wins = gather_windows(buf_u8, starts, seq_len)  # (B, L, h, w, 3) u8
+        if bgr:
+            wins = wins[..., ::-1]
+            if median_resized is not None:
+                median_resized = median_resized[..., ::-1]
+        rgb = wins.astype(jnp.float32)
+        diffs = None
+        if needs_diff:
+            d = jnp.sum(jnp.abs(rgb - median_resized.astype(jnp.float32)), axis=-1)
+            diffs = jnp.mod(jnp.floor(d), 256.0)[..., None]
+        med = median_resized if bg_mode == "concat" else None
+        out = window_channels(rgb if needs_rgb else None, diffs, med, bg_mode)
+        # Emitting the model's compute dtype here (bf16 on TPU) halves the
+        # assembled-window HBM traffic; values are computed in f32 first.
+        return out.astype(out_dtype) if out_dtype is not None else out
+
+    return run
 
 
 def make_window_preprocessor(bg_mode: str, seq_len: int):
