@@ -64,20 +64,31 @@ def main():
     from tracknetv3_tpu.utils.io import get_match_median, list_dirs, parse_video_file
     from tracknetv3_tpu.utils.visualize import plot_median_files
 
-    # 1. Install corrected test labels + drop_frame.json.
+    # 1. Install corrected test labels + drop_frame.json (the repo vendors
+    # the reference's corrected_test_label/ data asset verbatim:
+    # match{N}/corrected_csv/*_ball.csv + drop_frame.json; reference
+    # install flow: preprocess.py:10-21).
     cl_dir = args.corrected_label_dir
     if os.path.isdir(cl_dir):
         drop_src = os.path.join(cl_dir, "drop_frame.json")
         if os.path.exists(drop_src):
             shutil.copy(drop_src, os.path.join(data_dir, "drop_frame.json"))
         for name in sorted(os.listdir(cl_dir)):
-            if not name.endswith(".csv"):
-                continue
-            # name format: {match_id}_{rally_id}_ball.csv
-            match_id, rest = name.split("_", 1)
-            dst_dir = os.path.join(data_dir, "test", f"match{match_id}", "corrected_csv")
-            os.makedirs(dst_dir, exist_ok=True)
-            shutil.copy(os.path.join(cl_dir, name), os.path.join(dst_dir, rest))
+            src = os.path.join(cl_dir, name)
+            if os.path.isdir(src) and name.startswith("match"):
+                # reference layout: match{N}/corrected_csv/
+                src_csv = os.path.join(src, "corrected_csv")
+                dst_dir = os.path.join(data_dir, "test", name, "corrected_csv")
+                if os.path.isdir(src_csv) and not os.path.exists(dst_dir):
+                    shutil.copytree(src_csv, dst_dir)
+            elif name.endswith(".csv"):
+                # flat layout: {match_id}_{rally_id}_ball.csv
+                match_id, rest = name.split("_", 1)
+                dst_dir = os.path.join(
+                    data_dir, "test", f"match{match_id}", "corrected_csv"
+                )
+                os.makedirs(dst_dir, exist_ok=True)
+                shutil.copy(src, os.path.join(dst_dir, rest))
         print("Installed corrected test labels.")
 
     # 2./3. Frame extraction + medians.
