@@ -7,24 +7,67 @@ scheduler, param_dict)``, written as ``{model_name}_best.pt`` and
 inference CLIs reconstruct the architecture from it
 (reference: predict.py:98-101, test.py:936-939).
 
-Here ``model`` is the flax variables pytree ({'params', 'batch_stats'}),
-``optimizer`` the optax state, all converted to numpy for serialization.
-Like the reference's torch.save, the container is a pickle file - only
-load checkpoints you trust.
+Container format: a **pickle-free npz archive** (SURVEY §5 called for
+de-pickling; the reference uses torch.save = pickle, which executes
+arbitrary code on load):
+
+  - ``__meta__``  : JSON (epoch, max_val_acc, param_dict, scheduler,
+                    optimizer leaf count, format version)
+  - ``model/<a>/<b>/...`` : flax variable arrays, path-flattened
+  - ``opt/<i>``   : optimizer-state leaves in pytree flatten order (the
+                    structure is NOT stored - the training loop rebuilds a
+                    fresh optimizer state and unflattens into it, see
+                    ``unflatten_optimizer_state``)
+
+``load_checkpoint`` transparently falls back to pickle for legacy round-1
+checkpoints; ``np.load`` runs with ``allow_pickle=False`` so current-format
+files cannot execute code.
+
+The ``scheduler`` field persists the LR-schedule position explicitly
+(``{"lr_scheduler", "opt_step"}``): optax schedules are driven by the step
+count, so resume restores both ``TrainState.step`` and the count inside
+the optimizer state (VERDICT r1 weak item 6).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import pickle
-from typing import Any, Dict, Optional
+import zipfile
+from typing import Any, Dict, List, Optional
 
 import jax
 import numpy as np
 
+_FORMAT_VERSION = 2
+_SEP = "/"
+
 
 def _to_numpy(tree: Any) -> Any:
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def _flatten_dict(tree: Dict[str, Any], prefix: str = "") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    for k, v in tree.items():
+        key = f"{prefix}{_SEP}{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(_flatten_dict(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unflatten_dict(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for key, v in flat.items():
+        parts = key.split(_SEP)
+        node = out
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return out
 
 
 def save_checkpoint(
@@ -37,23 +80,86 @@ def save_checkpoint(
     scheduler: Any = None,
     param_dict: Optional[Dict[str, Any]] = None,
 ):
-    ckpt = dict(
+    opt_leaves: Optional[List[np.ndarray]] = None
+    if optimizer is not None:
+        opt_leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(optimizer)]
+    meta = dict(
+        format_version=_FORMAT_VERSION,
         epoch=int(epoch),
         max_val_acc=float(max_val_acc),
-        model=_to_numpy(model),
-        optimizer=_to_numpy(optimizer) if optimizer is not None else None,
-        scheduler=_to_numpy(scheduler) if scheduler is not None else None,
         param_dict=dict(param_dict or {}),
+        scheduler=scheduler if scheduler is None else dict(scheduler),
+        n_opt_leaves=None if opt_leaves is None else len(opt_leaves),
+    )
+    arrays: Dict[str, np.ndarray] = {}
+    for k, v in _flatten_dict(_to_numpy(dict(model)), "model").items():
+        arrays[k] = v
+    if opt_leaves is not None:
+        for i, leaf in enumerate(opt_leaves):
+            arrays[f"opt{_SEP}{i}"] = leaf
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode("utf-8"), dtype=np.uint8
     )
     tmp = f"{path}.tmp{os.getpid()}"  # unique per process: concurrent
     with open(tmp, "wb") as f:  # writers must not race on the rename
-        pickle.dump(ckpt, f, protocol=pickle.HIGHEST_PROTOCOL)
+        np.savez(f, **arrays)
     os.replace(tmp, path)
 
 
+def _load_npz(path: str) -> Dict[str, Any]:
+    with np.load(path, allow_pickle=False) as z:
+        meta = json.loads(bytes(z["__meta__"]).decode("utf-8"))
+        model_flat = {
+            k[len("model") + 1 :]: z[k] for k in z.files if k.startswith(f"model{_SEP}")
+        }
+        optimizer = None
+        if meta.get("n_opt_leaves") is not None:
+            optimizer = [z[f"opt{_SEP}{i}"] for i in range(meta["n_opt_leaves"])]
+    model = _unflatten_dict(model_flat)
+    if "batch_stats" not in model:
+        # empty batch_stats dicts flatten away; restore the contract shape
+        model["batch_stats"] = {}
+    return dict(
+        epoch=meta["epoch"],
+        max_val_acc=meta["max_val_acc"],
+        model=model,
+        optimizer=optimizer,
+        scheduler=meta.get("scheduler"),
+        param_dict=meta.get("param_dict", {}),
+    )
+
+
 def load_checkpoint(path: str) -> Dict[str, Any]:
+    """Load a checkpoint; npz (current, pickle-free) or legacy pickle."""
+    if zipfile.is_zipfile(path):
+        return _load_npz(path)
+    # Legacy round-1 container (pickle, like the reference's torch.save) -
+    # only load files you trust.
     with open(path, "rb") as f:
         return pickle.load(f)
+
+
+def unflatten_optimizer_state(reference_state: Any, ckpt_optimizer: Any) -> Any:
+    """Rebuild an optax state pytree from checkpointed leaves.
+
+    ``reference_state`` is a freshly-built optimizer state providing the
+    structure (and leaf dtypes); ``ckpt_optimizer`` is either the new
+    format's flat leaf list or a legacy pickled pytree."""
+    ref_leaves, treedef = jax.tree_util.tree_flatten(reference_state)
+    if isinstance(ckpt_optimizer, list):
+        leaves = ckpt_optimizer
+    else:
+        leaves = jax.tree_util.tree_leaves(ckpt_optimizer)
+    if len(leaves) != len(ref_leaves):
+        raise ValueError(
+            f"Optimizer state leaf count mismatch: checkpoint has "
+            f"{len(leaves)}, freshly-built state has {len(ref_leaves)}"
+        )
+    cast = [
+        np.asarray(new).astype(ref.dtype) if hasattr(ref, "dtype") else new
+        for ref, new in zip(ref_leaves, leaves)
+    ]
+    return jax.tree_util.tree_unflatten(treedef, cast)
 
 
 def load_model_from_checkpoint(path: str):
