@@ -1,0 +1,92 @@
+"""Two-result error-analysis web UI: endpoints, drop-frame data, diff hist.
+
+Drives the stdlib HTTP server over tiny fixtures (the UI's contract with
+test.py's eval-analysis JSON artifact; reference feature being replicated:
+error_analysis.py's side-by-side comparison with drop-frame verticals)."""
+
+import json
+import os
+import threading
+import urllib.request
+from http.server import HTTPServer
+
+import numpy as np
+import pytest
+
+from tracknetv3_tpu.tools.webui import make_handler
+
+
+def _analysis(seed):
+    rng = np.random.default_rng(seed)
+    n = 12
+    return {
+        "pred_dict": {
+            "1_1_00_00": {
+                "Frame": list(range(n)),
+                "X": rng.integers(0, 100, n).tolist(),
+                "Y": rng.integers(0, 100, n).tolist(),
+                "Visibility": [1] * n,
+                "Type": rng.integers(0, 5, n).tolist(),
+                "X_GT": rng.integers(0, 100, n).tolist(),
+                "Y_GT": rng.integers(0, 100, n).tolist(),
+                "Visibility_GT": [1] * n,
+            }
+        }
+    }
+
+
+@pytest.fixture()
+def server(tmp_path):
+    a1 = tmp_path / "a1.json"
+    a2 = tmp_path / "a2.json"
+    a1.write_text(json.dumps(_analysis(1)))
+    a2.write_text(json.dumps(_analysis(2)))
+    data_dir = tmp_path / "data"
+    os.makedirs(data_dir)
+    (data_dir / "drop_frame.json").write_text(
+        json.dumps({"start": {"1_1_00_00": 2}, "end": {"1_1_00_00": 9}})
+    )
+    handler = make_handler(str(a1), str(a2), data_dir=str(data_dir))
+    srv = HTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_port}"
+    srv.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url) as r:
+        return r.status, r.read()
+
+
+def test_two_result_endpoints(server):
+    status, body = _get(f"{server}/")
+    assert status == 200 and b"strip2" in body and b"diff" in body
+    for ep in ("analysis.json", "analysis2.json", "labels.json", "dropframe.json"):
+        status, body = _get(f"{server}/{ep}")
+        assert status == 200, ep
+        json.loads(body)
+    _, drop = _get(f"{server}/dropframe.json")
+    assert json.loads(drop)["start"]["1_1_00_00"] == 2
+    _, lbls = _get(f"{server}/labels.json")
+    assert json.loads(lbls) == ["a1.json", "a2.json"]
+
+
+def test_diff_hist_renders_png(server):
+    status, body = _get(f"{server}/diff_hist.png")
+    assert status == 200
+    assert body[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_single_result_404s_second(tmp_path):
+    a1 = tmp_path / "a1.json"
+    a1.write_text(json.dumps(_analysis(1)))
+    handler = make_handler(str(a1), None, data_dir=str(tmp_path))
+    srv = HTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}"
+        assert _get(f"{base}/analysis.json")[0] == 200
+        with pytest.raises(urllib.error.HTTPError):
+            _get(f"{base}/analysis2.json")
+    finally:
+        srv.shutdown()

@@ -8,8 +8,13 @@ tool is easier to deploy next to a TPU pod anyway).
 Both tools consume the ``{split}_eval_analysis_{mode}.json`` artifact
 written by ``test.py --output_pred`` and the dataset frame images:
 
-- error analysis: per-frame 5-way type strip chart over a rally for one or
-  two results, frame preview with GT/pred trajectories on hover/click.
+- error analysis: per-frame 5-way type strips over a rally for ONE or TWO
+  evaluation results side by side (the reference tool's core feature:
+  error_analysis.py:100-180), with drop-frame verticals (serve / landing
+  moments from drop_frame.json), a diff lane marking frames where the two
+  results disagree (green = only result 1 errs, red = only result 2 errs),
+  an FP1/FP2 pixel-error histogram (plot_diff_hist), and a frame preview
+  with GT + both predicted trajectories on click.
 - label correction: click on the frame image to set a corrected
   coordinate; "Write Result" saves ``corrected_csv/{rally}_ball.csv``
   (reference contract: correct_label.py:187-206).
@@ -28,10 +33,13 @@ PAGE = """<!DOCTYPE html>
 <style>
  body {{ font-family: sans-serif; margin: 16px; background:#111; color:#eee; }}
  select, button {{ font-size: 14px; margin: 4px; }}
- #strip {{ border: 1px solid #444; width: 100%; height: 90px; }}
+ canvas.strip {{ border: 1px solid #444; width: 100%; height: 78px; display:block; margin-bottom:4px; }}
+ #diff {{ height: 40px; }}
  #frame {{ border: 1px solid #444; max-width: 100%; cursor: crosshair; }}
  .legend span {{ margin-right: 12px; }}
+ .lbl {{ color:#aaa; font-size: 12px; }}
  .TP{{color:#6c6}} .TN{{color:#999}} .FP1{{color:#fa0}} .FP2{{color:#f66}} .FN{{color:#6af}}
+ img#hist {{ background:#fff; max-width:100%; display:none; }}
 </style></head>
 <body>
 <h3>{title}</h3>
@@ -40,44 +48,109 @@ PAGE = """<!DOCTYPE html>
  frame: <span id="frameno">0</span>
  <span class="legend">
   <span class="TP">TP</span><span class="TN">TN</span><span class="FP1">FP1</span>
-  <span class="FP2">FP2</span><span class="FN">FN</span></span>
+  <span class="FP2">FP2</span><span class="FN">FN</span>
+  <span style="color:#888">&#9482; serve/landing</span></span>
  {extra_controls}
 </div>
-<canvas id="strip" width="1200" height="90"></canvas><br>
+<div class="lbl" id="lbl1"></div>
+<canvas id="strip" class="strip" width="1200" height="78"></canvas>
+<div class="lbl" id="lbl2" style="display:none"></div>
+<canvas id="strip2" class="strip" width="1200" height="78" style="display:none"></canvas>
+<div class="lbl" id="lbld" style="display:none">diff (green: only result 1 errs, red: only result 2 errs)</div>
+<canvas id="diff" class="strip" width="1200" height="40" style="display:none"></canvas>
 <canvas id="frame" width="960" height="540"></canvas>
 <div id="info"></div>
+<div><button id="histbtn" style="display:none">FP1/FP2 error histogram</button></div>
+<img id="hist">
 <script>
 const TYPES=["TP","TN","FP1","FP2","FN"];
 const COLORS=["#6c6","#999","#fa0","#f66","#6af"];
 const CORRECT_MODE={correct_mode};
-let data=null, rally=null, cur=0, corrections={{}};
+let data=null, data2=null, drop=null, rally=null, cur=0, corrections={{}};
 async function boot() {{
   data = await (await fetch('analysis.json')).json();
+  const r2 = await fetch('analysis2.json');
+  if (r2.ok) {{
+    data2 = await r2.json();
+    for (const id of ['strip2','diff','lbl2','lbld']) document.getElementById(id).style.display='block';
+    document.getElementById('histbtn').style.display='inline';
+    const lbls = await (await fetch('labels.json')).json();
+    document.getElementById('lbl1').textContent = '1: ' + lbls[0];
+    document.getElementById('lbl2').textContent = '2: ' + lbls[1];
+  }}
+  const rd = await fetch('dropframe.json');
+  if (rd.ok) drop = await rd.json();
   const sel=document.getElementById('rally');
   Object.keys(data.pred_dict).forEach(k=>{{
     const o=document.createElement('option'); o.value=k; o.text=k; sel.add(o);
   }});
-  sel.onchange=()=>{{rally=sel.value; cur=0; corrections={{}}; drawStrip(); showFrame(0);}};
-  rally=sel.value; drawStrip(); showFrame(0);
+  sel.onchange=()=>{{rally=sel.value; cur=0; corrections={{}}; drawAll(); showFrame(0);}};
+  rally=sel.value; drawAll(); showFrame(0);
 }}
 function pred() {{ return data.pred_dict[rally]; }}
-function drawStrip() {{
-  const c=document.getElementById('strip'), g=c.getContext('2d');
+function pred2() {{ return data2 ? data2.pred_dict[rally] : null; }}
+function isErr(t) {{ return t===2||t===3||t===4; }}
+function drawDrop(g, c, n) {{
+  if (!drop || !drop.start || !(rally in drop.start)) return;
+  const w=c.width/n;
+  g.setLineDash([4,4]); g.strokeStyle='#bbb'; g.lineWidth=1;
+  for (const x of [drop.start[rally], drop.end[rally]]) {{
+    g.beginPath(); g.moveTo(x*w, 0); g.lineTo(x*w, c.height); g.stroke();
+  }}
+  g.setLineDash([]);
+}}
+function drawStripOn(cid, p) {{
+  const c=document.getElementById(cid), g=c.getContext('2d');
   g.clearRect(0,0,c.width,c.height);
-  const p=pred(); const n=p.Type.length; const w=c.width/n;
+  const n=p.Type.length; const w=c.width/n;
   for (let i=0;i<n;i++) {{
     g.fillStyle=COLORS[p.Type[i]];
-    g.fillRect(i*w, 10, Math.max(w,1), 60);
+    // errors rise above the midline, TP/TN sink below (reference's
+    // stacked-bar convention: error_analysis.py:141-146)
+    if (isErr(p.Type[i])) g.fillRect(i*w, 8, Math.max(w,1), 34);
+    else g.fillRect(i*w, 46, Math.max(w,1), 18);
   }}
-  if (corrections && Object.keys(corrections).length) {{
+  if (cid==='strip' && corrections && Object.keys(corrections).length) {{
     g.fillStyle='#fff';
-    for (const i of Object.keys(corrections)) g.fillRect(i*w, 72, Math.max(w,1), 8);
+    for (const i of Object.keys(corrections)) g.fillRect(i*w, 70, Math.max(w,1), 8);
   }}
-  g.fillStyle='#fff'; g.fillRect(cur*w, 0, Math.max(w,2), 8);
+  g.fillStyle='#fff'; g.fillRect(cur*w, 0, Math.max(w,2), 6);
+  drawDrop(g, c, n);
   c.onclick=(e)=>{{
     const i=Math.floor(e.offsetX/(c.clientWidth/n));
     showFrame(Math.min(Math.max(i,0),n-1));
   }};
+}}
+function drawDiff() {{
+  const p1=pred(), p2=pred2();
+  if (!p2) return;
+  const c=document.getElementById('diff'), g=c.getContext('2d');
+  g.clearRect(0,0,c.width,c.height);
+  const n=Math.min(p1.Type.length, p2.Type.length); const w=c.width/n;
+  for (let i=0;i<n;i++) {{
+    const e1=isErr(p1.Type[i]), e2=isErr(p2.Type[i]);
+    if (e1 && !e2) {{ g.fillStyle='#4c4'; g.fillRect(i*w,4,Math.max(w,1),32); }}
+    if (!e1 && e2) {{ g.fillStyle='#e44'; g.fillRect(i*w,4,Math.max(w,1),32); }}
+  }}
+  g.fillStyle='#fff'; g.fillRect(cur*w, 0, Math.max(w,2), 4);
+  drawDrop(g, c, n);
+  c.onclick=(e)=>{{
+    const i=Math.floor(e.offsetX/(c.clientWidth/n));
+    showFrame(Math.min(Math.max(i,0),n-1));
+  }};
+}}
+function drawAll() {{
+  drawStripOn('strip', pred());
+  if (pred2()) drawStripOn('strip2', pred2());
+  drawDiff();
+}}
+function drawTraj(g, p, i, colCur, colTail) {{
+  for (let k=Math.max(0,i-7);k<=i;k++) {{
+    if (p.Visibility[k]) {{
+      g.beginPath(); g.arc(p.X[k],p.Y[k],4,0,6.28);
+      g.strokeStyle = k==i ? colCur : colTail; g.lineWidth=2; g.stroke();
+    }}
+  }}
 }}
 async function showFrame(i) {{
   cur=i; document.getElementById('frameno').textContent=i;
@@ -86,13 +159,9 @@ async function showFrame(i) {{
     const c=document.getElementById('frame'), g=c.getContext('2d');
     c.width=img.width; c.height=img.height;
     g.drawImage(img,0,0);
-    const p=pred();
-    for (let k=Math.max(0,i-7);k<=i;k++) {{
-      if (p.Visibility[k]) {{
-        g.beginPath(); g.arc(p.X[k],p.Y[k],4,0,6.28);
-        g.strokeStyle = k==i ? '#ff0':'#fa0'; g.lineWidth=2; g.stroke();
-      }}
-    }}
+    const p=pred(), p2=pred2();
+    drawTraj(g, p, i, '#ff0', '#fa0');
+    if (p2) drawTraj(g, p2, i, '#f6f', '#a3a');
     if (p.X_GT) for (let k=Math.max(0,i-7);k<=i;k++) {{
       if (p.Visibility_GT[k]) {{
         g.beginPath(); g.arc(p.X_GT[k],p.Y_GT[k],4,0,6.28);
@@ -104,11 +173,12 @@ async function showFrame(i) {{
       g.beginPath(); g.arc(corr[0],corr[1],6,0,6.28);
       g.strokeStyle='#f0f'; g.lineWidth=3; g.stroke();
     }}
-    document.getElementById('info').textContent =
-      `frame ${{i}} type=${{TYPES[p.Type[i]]}} pred=(${{p.X[i]}},${{p.Y[i]}}) vis=${{p.Visibility[i]}}`;
+    let txt = `frame ${{i}} | 1: type=${{TYPES[p.Type[i]]}} pred=(${{p.X[i]}},${{p.Y[i]}}) vis=${{p.Visibility[i]}}`;
+    if (p2) txt += ` | 2: type=${{TYPES[p2.Type[i]]}} pred=(${{p2.X[i]}},${{p2.Y[i]}}) vis=${{p2.Visibility[i]}}`;
+    document.getElementById('info').textContent = txt;
   }};
   img.src=`frame?rally=${{encodeURIComponent(rally)}}&i=${{i}}`;
-  drawStrip();
+  drawAll();
 }}
 if (CORRECT_MODE) {{
   document.addEventListener('DOMContentLoaded', ()=>{{
@@ -125,6 +195,10 @@ if (CORRECT_MODE) {{
     }};
   }});
 }}
+document.getElementById('histbtn').onclick=()=>{{
+  const im=document.getElementById('hist');
+  im.src='diff_hist.png?ts='+Date.now(); im.style.display='block';
+}};
 document.addEventListener('keydown',(e)=>{{
   if (e.key==='ArrowRight') showFrame(Math.min(cur+1, pred().Type.length-1));
   if (e.key==='ArrowLeft') showFrame(Math.max(cur-1, 0));
@@ -136,6 +210,8 @@ boot();
 
 class _Handler(BaseHTTPRequestHandler):
     analysis: Dict = {}
+    analysis2: Optional[Dict] = None
+    labels = ("result 1", "result 2")
     data_dir: str = "data"
     title: str = "TrackNet analysis"
     correct_mode: bool = False
@@ -160,6 +236,68 @@ class _Handler(BaseHTTPRequestHandler):
                 return p
         return None
 
+    def _drop_frame(self) -> Optional[Dict]:
+        p = os.path.join(self.data_dir, "drop_frame.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return None
+
+    def _gt_for_rally(self, rally_key: str):
+        """GT coordinates for a rally from the label CSVs (like the
+        reference UI, which reads them live: error_analysis.py:148-153)."""
+        import numpy as np
+
+        from ..utils.io import label_csv_path, read_label_csv
+
+        match_id, rally_id = rally_key.split("_", 1)
+        for split in ("test", "val", "train"):
+            match_dir = os.path.join(self.data_dir, split, f"match{match_id}")
+            if os.path.isdir(os.path.join(match_dir, "frame", rally_id)):
+                df = read_label_csv(label_csv_path(match_dir, rally_id))
+                return (
+                    np.asarray(df["X"], np.float64),
+                    np.asarray(df["Y"], np.float64),
+                )
+        return None
+
+    def _diff_hist_png(self) -> Optional[bytes]:
+        """FP1/FP2 pixel-error histograms: result 1 vs result 2 over all
+        rallies (wires utils.visualize.plot_diff_hist to the UI)."""
+        if self.analysis2 is None:
+            return None
+        import tempfile
+
+        import numpy as np
+
+        from ..utils.visualize import plot_diff_hist
+
+        def collect(analysis):
+            types, dists = [], []
+            for rk, p in analysis["pred_dict"].items():
+                if "X_GT" in p:
+                    gx = np.asarray(p["X_GT"], np.float64)
+                    gy = np.asarray(p["Y_GT"], np.float64)
+                else:
+                    gt = self._gt_for_rally(rk)
+                    if gt is None:
+                        continue
+                    gx, gy = gt
+                px = np.asarray(p["X"], np.float64)
+                py = np.asarray(p["Y"], np.float64)
+                n = min(len(px), len(gx))
+                d = np.hypot(px[:n] - gx[:n], py[:n] - gy[:n])
+                types.extend(p["Type"][:n])
+                dists.extend(d.tolist())
+            return types, dists
+
+        t1, d1 = collect(self.analysis)
+        t2, d2 = collect(self.analysis2)
+        with tempfile.TemporaryDirectory() as td:
+            out = plot_diff_hist(t1, d1, t2, d2, labels=self.labels, save_dir=td)
+            with open(out, "rb") as f:
+                return f.read()
+
     def do_GET(self):
         url = urllib.parse.urlparse(self.path)
         if url.path in ("/", "/index.html"):
@@ -173,6 +311,25 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(page.encode())
         elif url.path == "/analysis.json":
             self._send(json.dumps(self.analysis).encode(), "application/json")
+        elif url.path == "/analysis2.json":
+            if self.analysis2 is None:
+                self.send_error(404)
+            else:
+                self._send(json.dumps(self.analysis2).encode(), "application/json")
+        elif url.path == "/labels.json":
+            self._send(json.dumps(list(self.labels)).encode(), "application/json")
+        elif url.path == "/dropframe.json":
+            drop = self._drop_frame()
+            if drop is None:
+                self.send_error(404)
+            else:
+                self._send(json.dumps(drop).encode(), "application/json")
+        elif url.path == "/diff_hist.png":
+            png = self._diff_hist_png()
+            if png is None:
+                self.send_error(404)
+            else:
+                self._send(png, "image/png")
         elif url.path == "/frame":
             q = urllib.parse.parse_qs(url.query)
             path = self._rally_frame_path(q["rally"][0], int(q["i"][0]))
@@ -213,25 +370,51 @@ class _Handler(BaseHTTPRequestHandler):
         self._send(f"Wrote {len(corrections)} corrections to {out}".encode(), "text/plain")
 
 
+def make_handler(
+    analysis_file: str,
+    analysis_file_2: Optional[str] = None,
+    data_dir: str = "data",
+    correct_mode: bool = False,
+    title: Optional[str] = None,
+):
+    with open(analysis_file) as f:
+        analysis = json.load(f)
+    analysis2 = None
+    if analysis_file_2:
+        with open(analysis_file_2) as f:
+            analysis2 = json.load(f)
+    return type(
+        "Bound",
+        (_Handler,),
+        dict(
+            analysis=analysis,
+            analysis2=analysis2,
+            labels=(
+                os.path.basename(analysis_file),
+                os.path.basename(analysis_file_2) if analysis_file_2 else "",
+            ),
+            data_dir=data_dir,
+            correct_mode=correct_mode,
+            title=title
+            or ("Label correction" if correct_mode else "Error analysis"),
+        ),
+    )
+
+
 def serve(
     analysis_file: str,
     data_dir: str = "data",
     port: int = 8050,
     correct_mode: bool = False,
     title: Optional[str] = None,
+    analysis_file_2: Optional[str] = None,
 ):
-    with open(analysis_file) as f:
-        analysis = json.load(f)
-    handler = type(
-        "Bound",
-        (_Handler,),
-        dict(
-            analysis=analysis,
-            data_dir=data_dir,
-            correct_mode=correct_mode,
-            title=title
-            or ("Label correction" if correct_mode else "Error analysis"),
-        ),
+    handler = make_handler(
+        analysis_file,
+        analysis_file_2=analysis_file_2,
+        data_dir=data_dir,
+        correct_mode=correct_mode,
+        title=title,
     )
     server = HTTPServer(("0.0.0.0", port), handler)
     print(f"Serving on http://localhost:{port}/ (Ctrl-C to stop)")
