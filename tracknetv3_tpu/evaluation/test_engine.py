@@ -298,7 +298,15 @@ class RallyTestEngine:
                 pred["X_GT"] = [int(v * w_s) for v in cx_t]
                 pred["Y_GT"] = [int(v * h_s) for v in cy_t]
                 pred["Visibility_GT"] = vis_gt.tolist()
-            pred["Inpaint_Mask"] = generate_inpaint_mask(pred, th_h=30)
+            # th_h=30 is an INPUT-space height threshold (reference
+            # test.py:694), so the gap scan always runs on input-space
+            # coordinates - pred["Y"] is in original space when
+            # save_inpaint_mask is False (w_s != 1).
+            mask_view = {
+                "Visibility": vis.tolist(),
+                "Y": [int(v) for v in dec["cy"]],
+            }
+            pred["Inpaint_Mask"] = generate_inpaint_mask(mask_view, th_h=30)
             return pred
         else:
             out = self.predict_rally_coordinate(rally_dir)
