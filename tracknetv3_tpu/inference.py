@@ -74,7 +74,12 @@ class TrackNetPredictor:
         inpaintnet_file: Optional[str] = None,
         eval_mode: str = "weight",
         batch_size: int = 16,
+        compute_dtype=None,
     ):
+        # bf16 rides the MXU at 2x the f32 rate and is the production
+        # default; f32 is for numerics work (e.g. cross-framework parity
+        # against the reference's f32 torch pipeline).
+        self.compute_dtype = compute_dtype if compute_dtype is not None else jnp.bfloat16
         self.tracknet, self.tracknet_vars, tn_pd = load_model_from_checkpoint(
             tracknet_file
         )
@@ -117,7 +122,7 @@ class TrackNetPredictor:
         from .models.fused_forward import tracknet_fused_forward
 
         x = self._preproc(frames_u8, median, starts)
-        probs = tracknet_fused_forward(self._folded, x)  # (B, H, W, L)
+        probs = tracknet_fused_forward(self._folded, x, dtype=self.compute_dtype)  # (B, H, W, L)
         return jnp.moveaxis(probs, -1, 1)  # (B, L, H, W)
 
     def _overlap_step_impl(self, frames_u8, median, t0, num_windows):
@@ -257,7 +262,7 @@ class TrackNetPredictor:
         key = (bgr, "overlap")
         if key not in self._staged_steps:
             pre = make_staged_preprocessor(
-                self.bg_mode, self.seq_len, bgr, out_dtype=jnp.bfloat16
+                self.bg_mode, self.seq_len, bgr, out_dtype=self.compute_dtype
             )
             B = self.batch_size
 
@@ -265,7 +270,9 @@ class TrackNetPredictor:
                 from .models.fused_forward import tracknet_fused_forward
 
                 x = pre(buf, med, w0 + jnp.arange(B))
-                probs = tracknet_fused_forward(self._folded, x)  # (B, h, w, L)
+                probs = tracknet_fused_forward(
+                    self._folded, x, dtype=self.compute_dtype
+                )  # (B, h, w, L)
                 wp = jnp.moveaxis(probs, -1, 1).astype(jnp.float32)
                 state, frames = ensemble_update_fn(
                     state, wp, self._weights, n_valid
@@ -281,7 +288,7 @@ class TrackNetPredictor:
         key = (bgr, "nonoverlap")
         if key not in self._staged_steps:
             pre = make_staged_preprocessor(
-                self.bg_mode, self.seq_len, bgr, out_dtype=jnp.bfloat16
+                self.bg_mode, self.seq_len, bgr, out_dtype=self.compute_dtype
             )
             L, B = self.seq_len, self.batch_size
 
@@ -290,7 +297,7 @@ class TrackNetPredictor:
 
                 starts = (w0 + jnp.arange(B)) * L
                 x = pre(buf, med, starts)
-                probs = tracknet_fused_forward(self._folded, x)
+                probs = tracknet_fused_forward(self._folded, x, dtype=self.compute_dtype)
                 wins = jnp.moveaxis(probs, -1, 1)  # (B, L, h, w)
                 flat = wins.reshape((B * L,) + wins.shape[2:])
                 dec = decode_heatmaps(flat)
