@@ -197,3 +197,32 @@ def test_streaming_nonoverlap_host_resize_runs(tmp_path, small_res):
     pred = p.predict_video_streaming(path, max_sample_num=8)
     assert pred["Frame"] == list(range(T))
     assert len(pred["X"]) == T
+
+
+def test_run_staged_sharded_matches_single_device(tmp_path, small_res):
+    """Multi-chip inference: chunks sharded across the 8-device data mesh
+    must produce the same trajectory as the single-device run."""
+    from tracknetv3_tpu.parallel.mesh import make_mesh
+
+    p = _make_predictor(tmp_path, bg_mode="concat", batch_size=8)
+    rng = np.random.default_rng(12)
+    buf = rng.integers(0, 255, (29, H, W, 3), np.uint8)
+    staged = _staged_from_buf(p, buf)
+    pred_single = p.run_staged(staged, img_scaler=(1.0, 1.0))
+    mesh = make_mesh(8)
+    pred_sharded = p.run_staged(staged, img_scaler=(1.0, 1.0), mesh=mesh)
+    assert pred_single == pred_sharded
+
+
+def test_run_staged_sharded_nonoverlap(tmp_path, small_res):
+    from tracknetv3_tpu.parallel.mesh import make_mesh
+
+    p = _make_predictor(
+        tmp_path, bg_mode="subtract", eval_mode="nonoverlap", batch_size=8
+    )
+    rng = np.random.default_rng(13)
+    buf = rng.integers(0, 255, (26, H, W, 3), np.uint8)
+    staged = _staged_from_buf(p, buf)
+    pred_single = p.run_staged(staged, img_scaler=(1.0, 1.0))
+    pred_sharded = p.run_staged(staged, img_scaler=(1.0, 1.0), mesh=make_mesh(8))
+    assert pred_single == pred_sharded

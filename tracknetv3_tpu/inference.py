@@ -256,10 +256,22 @@ class TrackNetPredictor:
     # ensemble_chunk recomputes L-1 boundary windows per chunk: +22% FLOPs
     # at B=32). Reference flow being replaced: predict.py:126-209.
 
-    def _staged_step(self, bgr: bool):
+    @staticmethod
+    def _shard_windows(x, mesh):
+        """Constrain the window axis across the data mesh; GSPMD then
+        partitions the U-Net forward per chip and inserts the collectives
+        the ensemble's cross-window slices need (multi-chip inference:
+        chunks are batch-parallel over the same 1-D mesh as training)."""
+        if mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P("data")))
+
+    def _staged_step(self, bgr: bool, mesh=None):
         """Jitted carried-tail overlap chunk for a staged buffer (cached
-        per channel order)."""
-        key = (bgr, "overlap")
+        per channel order and mesh)."""
+        key = (bgr, "overlap", mesh)
         if key not in self._staged_steps:
             pre = make_staged_preprocessor(
                 self.bg_mode, self.seq_len, bgr, out_dtype=self.compute_dtype
@@ -269,7 +281,7 @@ class TrackNetPredictor:
             def impl(buf, med, state, w0, n_valid):
                 from .models.fused_forward import tracknet_fused_forward
 
-                x = pre(buf, med, w0 + jnp.arange(B))
+                x = self._shard_windows(pre(buf, med, w0 + jnp.arange(B)), mesh)
                 probs = tracknet_fused_forward(
                     self._folded, x, dtype=self.compute_dtype
                 )  # (B, h, w, L)
@@ -284,8 +296,8 @@ class TrackNetPredictor:
             self._staged_steps[key] = jax.jit(impl, donate_argnums=(2,))
         return self._staged_steps[key]
 
-    def _staged_step_nonoverlap(self, bgr: bool):
-        key = (bgr, "nonoverlap")
+    def _staged_step_nonoverlap(self, bgr: bool, mesh=None):
+        key = (bgr, "nonoverlap", mesh)
         if key not in self._staged_steps:
             pre = make_staged_preprocessor(
                 self.bg_mode, self.seq_len, bgr, out_dtype=self.compute_dtype
@@ -296,7 +308,7 @@ class TrackNetPredictor:
                 from .models.fused_forward import tracknet_fused_forward
 
                 starts = (w0 + jnp.arange(B)) * L
-                x = pre(buf, med, starts)
+                x = self._shard_windows(pre(buf, med, starts), mesh)
                 probs = tracknet_fused_forward(self._folded, x, dtype=self.compute_dtype)
                 wins = jnp.moveaxis(probs, -1, 1)  # (B, L, h, w)
                 flat = wins.reshape((B * L,) + wins.shape[2:])
@@ -469,6 +481,7 @@ class TrackNetPredictor:
         self,
         staged: StagedVideo,
         img_scaler: Optional[Tuple[float, float]] = None,
+        mesh=None,
     ) -> Dict[str, list]:
         """Run all chunks over a staged buffer (both eval modes).
 
@@ -476,27 +489,37 @@ class TrackNetPredictor:
         carrying the ensemble tail between chunks (donated buffers); the
         last L-1 frames come from the flush. Dispatches are queued without
         intermediate fetches so chunk k+1's launch overlaps chunk k's
-        compute."""
+        compute. With ``mesh`` the window batch of every chunk is sharded
+        across the data mesh (multi-chip inference); outputs are identical
+        to the single-device run."""
         T = staged.T
         L, B = self.seq_len, self.batch_size
         if img_scaler is None:
             img_scaler = (staged.src_wh[0] / WIDTH, staged.src_wh[1] / HEIGHT)
         med = self._staged_median_arg(staged)
+        buf = staged.buf
+        if mesh is not None:
+            assert B % mesh.size == 0, (
+                f"batch_size {B} not divisible by mesh size {mesh.size}"
+            )
+            from .parallel.mesh import replicate_tree
+
+            buf, med = replicate_tree((buf, med), mesh)
         results = []
         if self.eval_mode == "nonoverlap":
-            step = self._staged_step_nonoverlap(staged.bgr)
+            step = self._staged_step_nonoverlap(staged.bgr, mesh)
             n_win = -(-T // L)
             for w0 in range(0, n_win, B):
-                packed = step(staged.buf, med, jnp.int32(w0))
+                packed = step(buf, med, jnp.int32(w0))
                 results.append((packed, min(B, n_win - w0) * L))
         else:
-            step = self._staged_step(staged.bgr)
+            step = self._staged_step(staged.bgr, mesh)
             S = max(T - L + 1, 1)
             state = ensemble_init(L, (HEIGHT, WIDTH))
             for w0 in range(0, S, B):
                 nv = min(B, S - w0)
                 state, packed = step(
-                    staged.buf, med, state, jnp.int32(w0), jnp.int32(nv)
+                    buf, med, state, jnp.int32(w0), jnp.int32(nv)
                 )
                 results.append((packed, nv))
             tail_packed = self._staged_flush(state)
