@@ -100,6 +100,13 @@ def main():
         verbose=args.verbose,
     )
     res_dict = get_test_res(pred_dict, args.data_dir, drop=args.split == "test")
+    if engine.last_eval_stats:
+        res_dict["eval_speed"] = engine.last_eval_stats
+        print(
+            f"Eval wall-clock: {engine.last_eval_stats['frames']} frames in "
+            f"{engine.last_eval_stats['seconds']}s = "
+            f"{engine.last_eval_stats['fps']} FPS"
+        )
     with open(eval_res_file, "w") as f:
         json.dump(res_dict, f, indent=2)
     print(json.dumps(res_dict, indent=2))

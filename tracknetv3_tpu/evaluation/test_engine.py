@@ -77,6 +77,8 @@ class RallyTestEngine:
         self._overlap_step = jax.jit(self._overlap_step_impl)
         self._nonoverlap_step = jax.jit(self._nonoverlap_step_impl)
         self._inpaint_fwd = jax.jit(self._inpaint_fwd_impl)
+        self._staged_rallies: Dict[str, tuple] = {}
+        self.last_eval_stats: Dict[str, float] = {}
 
     # ------------------------- TrackNet device steps -------------------------
 
@@ -116,20 +118,12 @@ class RallyTestEngine:
     def _pad_bucket(n: int, step: int = 128) -> int:
         return -(-n // step) * step
 
-    def predict_rally_heatmap(
-        self, cache: FrameCache, rally_dir: str, frame_ids: np.ndarray
-    ) -> Dict[str, np.ndarray]:
-        """Per-frame decoded predictions (input space) for one rally.
-
-        The rally's cached frames are uploaded once (padded to a length
-        bucket so different rallies share compiled programs) and all
-        window assembly/forward/ensemble/decode runs on device in
-        stateless chunks."""
+    def _stage_rally(self, cache: FrameCache, rally_dir: str, frame_ids):
+        """Pad + upload one rally's cached frames (bucketed lengths share
+        compiled programs)."""
         rgb_all, diff_all, med = cache.load(rally_dir)
         need_rgb = self.bg_mode in ("", "subtract_concat", "concat")
-        T = len(frame_ids)
-        L, B = self.seq_len, self.batch_size
-        Tp = self._pad_bucket(T)
+        Tp = self._pad_bucket(len(frame_ids))
 
         def pad(x):
             if x.shape[0] == Tp:
@@ -144,6 +138,57 @@ class RallyTestEngine:
             else None
         )
         med_dev = jnp.asarray(med) if med is not None else None
+        return rgb_dev, diff_dev, med_dev
+
+    def prestage(
+        self,
+        data_dir: str,
+        rally_dirs,
+        cache: FrameCache,
+        budget_bytes: float = 8e9,
+    ) -> int:
+        """Upload every rally's frames BEFORE the first device program
+        executes (VERDICT r1 weak item 4: per-rally uploads were paying
+        the degraded ~36 MB/s post-execution H2D path). Stops at
+        ``budget_bytes`` of device memory; remaining rallies upload
+        lazily. Returns the number of rallies staged."""
+        if self.tracknet is None:
+            return 0
+        used = 0.0
+        n = 0
+        for rally_dir in rally_dirs:
+            if rally_dir in self._staged_rallies:
+                n += 1
+                continue
+            match_dir, rally_id = parse_rally_dir(rally_dir)
+            df = read_label_csv(label_csv_path(match_dir, rally_id))
+            frame_ids = df["Frame"].to_numpy(np.int64)
+            staged = self._stage_rally(cache, rally_dir, frame_ids)
+            size = sum(x.nbytes for x in staged if x is not None)
+            if used + size > budget_bytes and n > 0:
+                break
+            self._staged_rallies[rally_dir] = staged
+            used += size
+            n += 1
+        return n
+
+    def predict_rally_heatmap(
+        self, cache: FrameCache, rally_dir: str, frame_ids: np.ndarray
+    ) -> Dict[str, np.ndarray]:
+        """Per-frame decoded predictions (input space) for one rally.
+
+        The rally's cached frames are uploaded once (padded to a length
+        bucket so different rallies share compiled programs) and all
+        window assembly/forward/ensemble/decode runs on device in
+        stateless chunks. Rallies uploaded by ``prestage`` (before the
+        first program execution, while the fast H2D path is available -
+        see PROFILE.md) are used directly."""
+        T = len(frame_ids)
+        L, B = self.seq_len, self.batch_size
+        staged = self._staged_rallies.get(rally_dir)
+        if staged is None:
+            staged = self._stage_rally(cache, rally_dir, frame_ids)
+        rgb_dev, diff_dev, med_dev = staged
 
         outs = []
         if self.eval_mode == "nonoverlap":
@@ -371,6 +416,8 @@ class RallyTestEngine:
         debug: bool = False,
         verbose: bool = False,
     ) -> Dict[str, Dict]:
+        import time
+
         pred_dict = {}
         rally_dirs = [
             os.path.join(data_dir, rd) for rd in get_rally_dirs(data_dir, split)
@@ -378,6 +425,11 @@ class RallyTestEngine:
         if debug:
             rally_dirs = rally_dirs[:1]
         cache = FrameCache(data_dir, self.bg_mode)
+        t0 = time.time()
+        if self.tracknet is not None and not use_linear_interp:
+            n_staged = self.prestage(data_dir, rally_dirs, cache)
+            if verbose:
+                print(f"  prestaged {n_staged}/{len(rally_dirs)} rallies")
         for rally_dir in rally_dirs:
             match_dir, rally_id = parse_rally_dir(rally_dir)
             match_id = match_dir.split("match")[-1]
@@ -404,6 +456,13 @@ class RallyTestEngine:
                     os.path.join(out_dir, f"{rally_id}_ball.csv"),
                     save_inpaint_mask=True,
                 )
+        seconds = time.time() - t0
+        frames = sum(len(p["Frame"]) for p in pred_dict.values())
+        self.last_eval_stats = dict(
+            frames=frames,
+            seconds=round(seconds, 3),
+            fps=round(frames / seconds, 2) if seconds > 0 else 0.0,
+        )
         return pred_dict
 
 
