@@ -1,0 +1,67 @@
+"""Eval-engine rally prestaging: staged and lazy paths must be identical."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tracknetv3_tpu.data.dataset import FrameCache
+from tracknetv3_tpu.evaluation.test_engine import RallyTestEngine
+from tracknetv3_tpu.models import get_model
+
+
+@pytest.fixture()
+def tiny_rally(tmp_path):
+    """A minimal dataset dir with one test rally (frames + corrected csv)."""
+    rng = np.random.default_rng(0)
+    rally_dir = tmp_path / "test" / "match1" / "frame" / "1_00_00"
+    csv_dir = tmp_path / "test" / "match1" / "corrected_csv"
+    os.makedirs(rally_dir)
+    os.makedirs(csv_dir)
+    T = 9
+    for i in range(T):
+        arr = rng.integers(0, 255, (32, 64, 3), np.uint8)
+        Image.fromarray(arr).save(rally_dir / f"{i}.png")
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "Frame": range(T),
+            "Visibility": [1] * T,
+            "X": rng.integers(1, 63, T),
+            "Y": rng.integers(1, 31, T),
+        }
+    ).to_csv(csv_dir / "1_00_00_ball.csv", index=False)
+    return str(tmp_path), str(rally_dir)
+
+
+def test_prestaged_equals_lazy(tiny_rally, monkeypatch):
+    data_dir, rally_dir = tiny_rally
+    # tiny model resolution so the 32x64 PNGs are used as-is (the full
+    # 288x512 model is minutes-slow on the CPU test runner)
+    import tracknetv3_tpu.data.dataset as ds
+    import tracknetv3_tpu.evaluation.test_engine as te
+
+    monkeypatch.setattr(ds, "HEIGHT", 32)
+    monkeypatch.setattr(ds, "WIDTH", 64)
+    monkeypatch.setattr(te, "HEIGHT", 32)
+    monkeypatch.setattr(te, "WIDTH", 64)
+
+    model, variables = get_model("TrackNet", 3, "")
+    engine = RallyTestEngine(
+        (model, variables), tracknet_seq_len=3, bg_mode="", eval_mode="weight",
+        batch_size=4,
+    )
+    cache = FrameCache(data_dir, "")
+    frame_ids = np.arange(9)
+
+    lazy = engine.predict_rally_heatmap(cache, rally_dir, frame_ids)
+    assert rally_dir not in engine._staged_rallies
+
+    n = engine.prestage(data_dir, [rally_dir], cache)
+    assert n == 1 and rally_dir in engine._staged_rallies
+    staged = engine.predict_rally_heatmap(cache, rally_dir, frame_ids)
+
+    for k in ("cx", "cy", "conf", "bbox"):
+        np.testing.assert_array_equal(np.asarray(lazy[k]), np.asarray(staged[k]))
