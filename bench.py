@@ -90,7 +90,7 @@ def get_checkpoint(tmpdir, seq_len=8, bg_mode="concat"):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=480)
-    ap.add_argument("--batch_size", type=int, default=128)
+    ap.add_argument("--batch_size", type=int, default=120)
     ap.add_argument("--eval_mode", type=str, default="weight")
     ap.add_argument("--bg_mode", type=str, default="concat")
     ap.add_argument("--passes", type=int, default=3)
