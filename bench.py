@@ -121,16 +121,25 @@ def main():
 
     # --- warm-up: compile finalize (concat+median) and chunk/flush programs
     # (excluded - compiles are process-cached and amortize across videos) ---
+    import jax.numpy as jnp
+
+    def probe_small(staged):
+        x = staged.median if staged.median is not None else staged.buf
+        np.asarray(jnp.mean(x.astype(jnp.float32)))
+
     t0 = time.time()
     staged = predictor.finalize_staged(slabs, bgr=True, src_wh=src_wh)
+    probe_small(staged)  # compile the tiny timing probe too
     predictor.warmup_staged(staged)
     pred = predictor.run_staged(staged)
     t_compile = time.time() - t0
 
-    # --- finalize, exec-only (re-run against the retained slabs) ---
+    # --- finalize, exec-only (re-run against the retained slabs; forced
+    # with a tiny fetch - fetching the whole median would bill ~50 ms of
+    # degraded-D2H transfer that the pipeline never pays) ---
     t0 = time.time()
     staged = predictor.finalize_staged(slabs, bgr=True, src_wh=src_wh)
-    np.asarray(staged.median if staged.median is not None else staged.buf[0, 0, 0])
+    probe_small(staged)
     t_finalize = time.time() - t0
 
     # --- timed compute passes (median of N: relay RPC latency varies) ---

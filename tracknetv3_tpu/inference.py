@@ -324,13 +324,32 @@ class TrackNetPredictor:
         dec = decode_heatmaps(frames)
         return jnp.stack([dec["cx"], dec["cy"], dec["vis"]], axis=-1)
 
+    def _collect_fn(self, nvs, tail_n):
+        """Cached fused flush + valid-row concat (one dispatch, one fetch:
+        per-chunk fetches each pay the ~35 ms relay round trip)."""
+        key = ("collect", tuple(nvs), tail_n)
+        if key not in self._staged_steps:
+
+            def impl(state, packs):
+                parts = [p[:nv] for p, nv in zip(packs, nvs) if nv > 0]
+                if tail_n > 0:
+                    parts.append(self._staged_flush_impl(state)[:tail_n])
+                return jnp.concatenate(parts, axis=0)
+
+            self._staged_steps[key] = jax.jit(impl, donate_argnums=(0,))
+        return self._staged_steps[key]
+
     def _median_staged(self, buf, max_sample_num: Optional[int]):
         """Exact-np.median background from staged frames, on device.
 
         Default (None) medians over ALL frames like the reference's
         in-memory path (reference: predict.py:128-131); a memory guard caps
         the sorted stack at 4096 model-resolution frames (~1.8 GB)."""
-        T = int(buf.shape[0])
+        return self._median_staged_traced(buf, int(buf.shape[0]), max_sample_num)
+
+    @staticmethod
+    def _median_staged_traced(buf, T: int, max_sample_num: Optional[int]):
+        """Trace-compatible body of _median_staged (T passed statically)."""
         k = T if max_sample_num is None else min(int(max_sample_num), T)
         k = min(k, 4096)
         if k == T:
@@ -446,11 +465,30 @@ class TrackNetPredictor:
             slabs, bgr=False, src_wh=(w, h), max_sample_num=max_sample_num
         )
 
+    def _finalize_fn(self, T: int, max_sample_num):
+        """Cached fused concat+median program (one dispatch per finalize;
+        every extra dispatch costs a relay round trip)."""
+        key = ("finalize", T, max_sample_num, bool(self.bg_mode))
+        if key not in self._staged_steps:
+            with_median = bool(self.bg_mode)
+
+            @jax.jit
+            def fin(parts):
+                buf = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+                med = (
+                    self._median_staged_traced(buf, T, max_sample_num)
+                    if with_median
+                    else None
+                )
+                return buf, med
+
+            self._staged_steps[key] = fin
+        return self._staged_steps[key]
+
     def finalize_staged(self, slabs, bgr, src_wh, max_sample_num=None):
         """Concat uploaded slabs into the resident buffer + device median."""
-        buf = jnp.concatenate(slabs, axis=0) if len(slabs) > 1 else slabs[0]
-        T = int(buf.shape[0])
-        median = self._median_staged(buf, max_sample_num) if self.bg_mode else None
+        T = int(sum(s.shape[0] for s in slabs))
+        buf, median = self._finalize_fn(T, max_sample_num)(tuple(slabs))
         return StagedVideo(buf=buf, T=T, median=median, bgr=bgr, src_wh=src_wh)
 
     def warmup_staged(self, staged: StagedVideo):
@@ -522,11 +560,20 @@ class TrackNetPredictor:
                     buf, med, state, jnp.int32(w0), jnp.int32(nv)
                 )
                 results.append((packed, nv))
-            tail_packed = self._staged_flush(state)
-            results.append((tail_packed, T - S))
-        # One device-side concat of the valid rows + a SINGLE small fetch:
-        # per-chunk np.asarray would pay one relay round trip each (~35 ms)
-        # even though the data is long since computed.
+            # fused flush + valid-row concat: one dispatch, one small fetch
+            collect = self._collect_fn([nv for _, nv in results], T - S)
+            full = collect(state, tuple(p for p, _ in results))
+            arr = np.asarray(full)[:T]
+            w_s, h_s = img_scaler
+            return {
+                "Frame": list(range(T)),
+                "X": [int(v) for v in (arr[:, 0] * w_s).astype(np.int64)],
+                "Y": [int(v) for v in (arr[:, 1] * h_s).astype(np.int64)],
+                "Visibility": [int(v) for v in arr[:, 2]],
+            }
+        # nonoverlap: one device-side concat of the valid rows + a SINGLE
+        # small fetch (per-chunk np.asarray would pay one relay round trip
+        # each, ~35 ms, even though the data is long since computed).
         full = jnp.concatenate([p[:nv] for p, nv in results if nv > 0], axis=0)
         arr = np.asarray(full)[:T]
         w_s, h_s = img_scaler
