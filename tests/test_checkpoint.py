@@ -136,3 +136,24 @@ def test_optimizer_roundtrip_and_scheduler_record(tmp_path):
     assert len(ref_leaves) == len(got_leaves)
     for a, b in zip(ref_leaves, got_leaves):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_async_write_roundtrip(tmp_path):
+    """async_write defers zip+disk to a background thread; the host
+    snapshot is taken synchronously so callers may mutate immediately."""
+    from tracknetv3_tpu.training.checkpoint import flush_checkpoint_writes
+
+    model, variables = get_model("InpaintNet", 16)
+    path = str(tmp_path / "a.pt")
+    snap = np.asarray(variables["params"]["down_1"]["conv"]["kernel"]).copy()
+    save_checkpoint(
+        path, epoch=4, max_val_acc=0.2, model=variables,
+        param_dict=dict(model_name="InpaintNet", seq_len=16),
+        async_write=True,
+    )
+    flush_checkpoint_writes()
+    ckpt = load_checkpoint(path)
+    assert ckpt["epoch"] == 4
+    np.testing.assert_array_equal(
+        ckpt["model"]["params"]["down_1"]["conv"]["kernel"], snap
+    )

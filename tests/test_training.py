@@ -234,3 +234,40 @@ def test_steplr_resume_roundtrip(tmp_path):
         jax.tree_util.tree_leaves(ref_params), jax.tree_util.tree_leaves(state2.params)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_device_cached_eval_loader():
+    """Cached val batches are reused across iterations; the underlying
+    loader is only re-walked for overflow."""
+    from tracknetv3_tpu.training.loop import DeviceCachedEvalLoader
+
+    class CountingLoader:
+        def __init__(self):
+            self.walks = 0
+            self.batches = [
+                {"x": np.full((2, 4), i, np.float32)} for i in range(3)
+            ]
+
+        def __len__(self):
+            return len(self.batches)
+
+        def __iter__(self):
+            self.walks += 1
+            yield from self.batches
+
+    inner = CountingLoader()
+    loader = DeviceCachedEvalLoader(inner)
+    first = [np.asarray(b["x"]).copy() for b in loader]
+    second = [np.asarray(b["x"]) for b in loader]
+    assert inner.walks == 1  # second pass served from the device cache
+    for a, b in zip(first, second):
+        np.testing.assert_array_equal(a, b)
+
+    # overflow: tiny budget caches only the first batch
+    inner2 = CountingLoader()
+    loader2 = DeviceCachedEvalLoader(inner2, budget_bytes=40)
+    list(loader2)
+    out = [np.asarray(b["x"]) for b in loader2]
+    assert inner2.walks == 2  # re-walked for the overflow
+    assert len(out) == 3
+    np.testing.assert_array_equal(out[1], np.full((2, 4), 1, np.float32))

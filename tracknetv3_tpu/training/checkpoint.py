@@ -70,6 +70,36 @@ def _unflatten_dict(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return out
 
 
+# Single ordered writer thread for async checkpoint writes: the device->
+# host snapshot must be synchronous (the next train step donates the
+# buffers), but zipping + disk IO need not block the step path.
+_writer = None
+
+
+def _get_writer():
+    global _writer
+    if _writer is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _writer = ThreadPoolExecutor(max_workers=1)
+    return _writer
+
+
+def flush_checkpoint_writes():
+    """Block until all async checkpoint writes have hit disk."""
+    global _writer
+    if _writer is not None:
+        _writer.shutdown(wait=True)
+        _writer = None
+
+
+def _write_npz(path: str, arrays: Dict[str, np.ndarray]):
+    tmp = f"{path}.tmp{os.getpid()}"  # unique per process: concurrent
+    with open(tmp, "wb") as f:  # writers must not race on the rename
+        np.savez(f, **arrays)
+    os.replace(tmp, path)
+
+
 def save_checkpoint(
     path: str,
     *,
@@ -79,7 +109,14 @@ def save_checkpoint(
     optimizer: Any = None,
     scheduler: Any = None,
     param_dict: Optional[Dict[str, Any]] = None,
+    async_write: bool = False,
 ):
+    """Snapshot to host (synchronous) and serialize to ``path``.
+
+    With ``async_write`` the zip+disk work runs on an ordered background
+    thread (call ``flush_checkpoint_writes()`` before reading the files);
+    the host snapshot itself is always taken before returning, so callers
+    may donate/overwrite the device buffers immediately."""
     opt_leaves: Optional[List[np.ndarray]] = None
     if optimizer is not None:
         opt_leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(optimizer)]
@@ -100,10 +137,10 @@ def save_checkpoint(
     arrays["__meta__"] = np.frombuffer(
         json.dumps(meta).encode("utf-8"), dtype=np.uint8
     )
-    tmp = f"{path}.tmp{os.getpid()}"  # unique per process: concurrent
-    with open(tmp, "wb") as f:  # writers must not race on the rename
-        np.savez(f, **arrays)
-    os.replace(tmp, path)
+    if async_write:
+        _get_writer().submit(_write_npz, path, arrays)
+    else:
+        _write_npz(path, arrays)
 
 
 def _load_npz(path: str) -> Dict[str, Any]:

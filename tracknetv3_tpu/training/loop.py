@@ -43,6 +43,50 @@ from .steps import (
 )
 
 
+class DeviceCachedEvalLoader:
+    """Device-resident validation batches, reused across epochs.
+
+    The val set is fixed, but re-uploading it every epoch pays this
+    runtime's degraded post-execution H2D path (~37 MB/s) each time. The
+    first iteration uploads and caches device batches up to
+    ``budget_bytes``; later iterations yield the cached references and
+    stream only the overflow. Requires a deterministic underlying loader
+    (val loaders never shuffle).
+    """
+
+    def __init__(self, loader, budget_bytes: float = 4e9):
+        self.loader = loader
+        self.budget = budget_bytes
+        self._cache = []
+        self._primed = False
+        self._overflow = False
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        if self._primed:
+            yield from self._cache
+            if self._overflow:
+                for i, batch in enumerate(self.loader):
+                    if i >= len(self._cache):
+                        yield jax.device_put(batch)
+            return
+        used = 0.0
+        for batch in self.loader:
+            dev = jax.device_put(batch)
+            size = sum(
+                leaf.nbytes for leaf in jax.tree_util.tree_leaves(batch)
+            )
+            if used + size <= self.budget:
+                self._cache.append(dev)
+                used += size
+            else:
+                self._overflow = True
+            yield dev
+        self._primed = True
+
+
 def _prefetch_to_device(loader, mesh, depth: int = 2):
     """Background-thread device_put of upcoming batches: overlaps the
     host gather + H2D transfer with the previous step's compute."""
@@ -122,6 +166,10 @@ def train(config: TrainConfig, data_dir: str = "data", verbose_print=print) -> D
             train_index, cfg.batch_size, shuffle=True, drop_last=True, seed=cfg.seed
         )
         val_loader = CoordinateBatchLoader(val_index, cfg.batch_size)
+    if (cfg.num_devices or 0) <= 1:
+        # Keep val batches device-resident across epochs (the fixed val
+        # set otherwise re-uploads every epoch on the degraded H2D path).
+        val_loader = DeviceCachedEvalLoader(val_loader)
     steps_per_epoch = max(len(train_loader), 1)
     verbose_print(
         f"Dataset: {len(train_index)} train / {len(val_index)} val windows"
@@ -269,9 +317,10 @@ def train(config: TrainConfig, data_dir: str = "data", verbose_print=print) -> D
             save_checkpoint(
                 os.path.join(cfg.save_dir, f"{cfg.model_name}_best.pt"),
                 max_val_acc=max_val_acc,
+                async_write=True,
                 **common,
             )
-        save_checkpoint(cur_path, max_val_acc=max_val_acc, **common)
+        save_checkpoint(cur_path, max_val_acc=max_val_acc, async_write=True, **common)
 
         verbose_print(
             f"  train_loss={train_loss:.6f} val_loss={val_loss:.6f} "
@@ -281,6 +330,9 @@ def train(config: TrainConfig, data_dir: str = "data", verbose_print=print) -> D
             dict(epoch=epoch, train_loss=train_loss, val_loss=val_loss, val_res=val_res)
         )
 
+    from .checkpoint import flush_checkpoint_writes
+
+    flush_checkpoint_writes()  # async checkpoint writes must be on disk
     logger.close()
     verbose_print(f"Training time: {(time.time() - t_train) / 3600.0:.2f} hrs")
     return dict(history=history, max_val_acc=max_val_acc, state=state)
