@@ -129,3 +129,65 @@ def test_frame_cache_persists(tiny_data):
     cache2 = FrameCache(tiny_data, "subtract")
     rgb2, diff2, _ = cache2.load(rally_dir)
     np.testing.assert_array_equal(diff, diff2)
+
+
+@pytest.mark.parametrize("bg_mode", ["", "concat", "subtract"])
+def test_resident_loader_matches_standard(tiny_data, bg_mode):
+    """ResidentHeatmapLoader ships only indices; the assembled model input
+    must equal the standard loader's pixel-shipping batch exactly."""
+    import jax.numpy as jnp
+
+    from tracknetv3_tpu.data.dataset import ResidentHeatmapLoader
+    from tracknetv3_tpu.training.steps import assemble_tracknet_inputs
+
+    idx = build_split_index(tiny_data, "train", 4, 4, "heatmap", use_cache=False)
+    std = HeatmapBatchLoader(idx, bg_mode, batch_size=3, data_dir=tiny_data)
+    res = ResidentHeatmapLoader(idx, bg_mode, batch_size=3, data_dir=tiny_data)
+    for b_std, b_res in zip(std, res):
+        np.testing.assert_array_equal(b_std["cxcy"], b_res["cxcy"])
+        np.testing.assert_array_equal(b_std["id"], b_res["id"])
+        x_std = np.asarray(assemble_tracknet_inputs(b_std, bg_mode))
+        x_res = np.asarray(assemble_tracknet_inputs(
+            {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+             for k, v in b_res.items()}, bg_mode))
+        np.testing.assert_array_equal(x_std, x_res)
+
+
+def test_resident_loader_budget(tiny_data):
+    from tracknetv3_tpu.data.dataset import ResidentHeatmapLoader
+
+    idx = build_split_index(tiny_data, "train", 4, 4, "heatmap", use_cache=False)
+    with pytest.raises(MemoryError):
+        ResidentHeatmapLoader(idx, "", batch_size=3, data_dir=tiny_data,
+                              budget_bytes=10)
+
+
+def test_resident_train_step_matches_standard(tiny_data):
+    """One optimizer step from identical windows must yield the same loss
+    through the resident-index path as through the pixel path."""
+    import jax
+
+    from tracknetv3_tpu.data.dataset import ResidentHeatmapLoader
+    from tracknetv3_tpu.models import get_model
+    from tracknetv3_tpu.training.optim import build_optimizer
+    from tracknetv3_tpu.training.steps import (
+        create_train_state,
+        make_tracknet_train_step,
+    )
+
+    idx = build_split_index(tiny_data, "train", 4, 4, "heatmap", use_cache=False)
+    std = HeatmapBatchLoader(idx, "concat", batch_size=3, data_dir=tiny_data)
+    res = ResidentHeatmapLoader(idx, "concat", batch_size=3, data_dir=tiny_data)
+    b_std, b_res = next(iter(std)), next(iter(res))
+
+    model, variables = get_model("TrackNet", 4, "concat")
+    init_np = jax.tree_util.tree_map(np.asarray, variables)
+    tx = build_optimizer("Adam", 1e-3)
+    step = make_tracknet_train_step(model, tx, "concat", alpha=-1)
+    rng = jax.random.PRNGKey(0)
+
+    s1 = create_train_state(jax.tree_util.tree_map(np.asarray, init_np), tx)
+    _, loss_std = step(s1, b_std, rng)
+    s2 = create_train_state(jax.tree_util.tree_map(np.asarray, init_np), tx)
+    _, loss_res = step(s2, b_res, rng)
+    np.testing.assert_allclose(float(loss_std), float(loss_res), rtol=1e-6)

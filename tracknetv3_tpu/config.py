@@ -93,6 +93,10 @@ class TrainConfig:
     # shuffled windows like the reference; >1 ships each segment's unique
     # frames once, cutting host->device traffic ~seg*L/(seg+L-1) times).
     segment_windows: int = 1
+    # Stage ALL split frames to HBM once and ship only window indices per
+    # step (TrackNet, single device, frame_alpha off; falls back to the
+    # standard loader if the split exceeds the device budget).
+    resident_frames: bool = False
 
     def to_param_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)

@@ -527,6 +527,121 @@ class HeatmapBatchLoader:
             yield batch
 
 
+class ResidentHeatmapLoader:
+    """TrackNet batches against DEVICE-RESIDENT split frames.
+
+    The TPU-native endgame for the input pipeline: every unique frame of
+    the split is staged to HBM exactly once (uint8, during construction -
+    i.e. before any program has executed, while the fast H2D path is
+    available), and each training step ships only integer window indices
+    plus labels (a few KB). Window assembly, channel stacking, label
+    generation and augmentation all run inside the jitted train step.
+    The reference re-decodes and re-resizes every frame ``seq_len`` times
+    per epoch in DataLoader workers (reference: dataset.py:416-666).
+
+    Restrictions: frame mixup needs the host blend planner (use the
+    standard loader), and the split's frames must fit ``budget_bytes``
+    (raises MemoryError otherwise - callers fall back).
+    """
+
+    def __init__(
+        self,
+        index: SplitIndex,
+        bg_mode: str = "",
+        batch_size: int = 8,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        seed: int = 13,
+        data_dir: str = "",
+        budget_bytes: float = 6e9,
+    ):
+        import jax
+
+        self.index = index
+        self.bg_mode = bg_mode
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.rng = np.random.default_rng(seed)
+        need_diff = bg_mode in ("subtract", "subtract_concat")
+        need_rgb = bg_mode in ("", "subtract_concat", "concat")
+
+        cache = FrameCache(data_dir, bg_mode)
+        rgb_parts, diff_parts, medians, offsets = [], [], [], []
+        total = 0
+        off = 0
+        for rd in index.rally_dirs:
+            r, d, m = cache.load(rd)
+            n = (r if r is not None else d).shape[0]
+            offsets.append(off)
+            off += n
+            if need_rgb:
+                rgb_parts.append(r)
+                total += r.nbytes
+            if need_diff:
+                diff_parts.append(d[..., None])
+                total += d.nbytes
+            medians.append(m)
+        if total > budget_bytes:
+            raise MemoryError(
+                f"split frames ({total / 1e9:.1f} GB) exceed the resident "
+                f"budget ({budget_bytes / 1e9:.1f} GB)"
+            )
+        self._offsets = np.asarray(offsets, np.int64)
+        self.rgb_buf = (
+            jax.device_put(np.concatenate(rgb_parts, axis=0)) if need_rgb else None
+        )
+        self.diff_buf = (
+            jax.device_put(np.concatenate(diff_parts, axis=0)) if need_diff else None
+        )
+        self.median_buf = (
+            jax.device_put(np.stack(medians).astype(np.float32))
+            if bg_mode == "concat"
+            else None
+        )
+
+    def __len__(self):
+        n = len(self.index)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self.index)
+        order = np.arange(n)
+        if self.shuffle:
+            self.rng.shuffle(order)
+        B = self.batch_size
+        stop = (n // B) * B if self.drop_last else n
+        for s in range(0, stop, B):
+            sel = order[s : s + B]
+            ids = self.index.data["id"][sel]
+            rally_i = ids[:, 0, 0]
+            frame_pos = self.index.data["frame_id"][sel]  # (B, L) on-disk ids
+            flat_idx = (self._offsets[rally_i][:, None] + frame_pos).astype(np.int32)
+            coor = self.index.data["coor"][sel].astype(np.float32)
+            vis = self.index.data["vis"][sel].astype(np.float32)
+            scaler = self.index.img_scaler[rally_i]
+            shape = self.index.img_shape[rally_i]
+            cx = (coor[..., 0] / scaler[:, None, 0]).astype(np.int32)
+            cy = (coor[..., 1] / scaler[:, None, 1]).astype(np.int32)
+            batch = {
+                "id": ids,
+                "res_idx": flat_idx,
+                "cxcy": np.stack([cx, cy], axis=-1),
+                "coor": coor / shape[:, None, :],
+                "vis": vis,
+            }
+            if self.rgb_buf is not None:
+                batch["res_rgb_buf"] = self.rgb_buf
+            if self.diff_buf is not None:
+                batch["res_diff_buf"] = self.diff_buf
+            if self.median_buf is not None:
+                batch["res_median_buf"] = self.median_buf
+                batch["res_median_idx"] = rally_i.astype(np.int32)
+            yield batch
+
+
 class CoordinateBatchLoader:
     """Yields InpaintNet batches (coordinate mode, reference dataset.py:649-664).
 

@@ -146,21 +146,49 @@ def train(config: TrainConfig, data_dir: str = "data", verbose_print=print) -> D
     val_index = build_split_index(
         data_dir, "val", cfg.seq_len, cfg.seq_len, data_mode, debug=cfg.debug
     )
+    use_resident = (
+        cfg.resident_frames
+        and cfg.model_name == "TrackNet"
+        and cfg.frame_alpha <= 0
+        and (cfg.num_devices or 0) <= 1
+    )
     if cfg.model_name == "TrackNet":
-        train_loader = HeatmapBatchLoader(
-            train_index,
-            cfg.bg_mode,
-            cfg.batch_size,
-            shuffle=True,
-            drop_last=True,
-            seed=cfg.seed,
-            data_dir=data_dir,
-            frame_alpha=cfg.frame_alpha,
-            segment_windows=cfg.segment_windows,
-        )
-        val_loader = HeatmapBatchLoader(
-            val_index, cfg.bg_mode, cfg.batch_size, data_dir=data_dir
-        )
+        train_loader = val_loader = None
+        if use_resident:
+            try:
+                from ..data.dataset import ResidentHeatmapLoader
+
+                train_loader = ResidentHeatmapLoader(
+                    train_index,
+                    cfg.bg_mode,
+                    cfg.batch_size,
+                    shuffle=True,
+                    drop_last=True,
+                    seed=cfg.seed,
+                    data_dir=data_dir,
+                )
+                val_loader = ResidentHeatmapLoader(
+                    val_index, cfg.bg_mode, cfg.batch_size, data_dir=data_dir
+                )
+                verbose_print("Resident frames: split staged to device memory")
+            except MemoryError as e:
+                verbose_print(f"resident_frames fallback: {e}")
+                train_loader = val_loader = None
+        if train_loader is None:
+            train_loader = HeatmapBatchLoader(
+                train_index,
+                cfg.bg_mode,
+                cfg.batch_size,
+                shuffle=True,
+                drop_last=True,
+                seed=cfg.seed,
+                data_dir=data_dir,
+                frame_alpha=cfg.frame_alpha,
+                segment_windows=cfg.segment_windows,
+            )
+            val_loader = HeatmapBatchLoader(
+                val_index, cfg.bg_mode, cfg.batch_size, data_dir=data_dir
+            )
     else:
         train_loader = CoordinateBatchLoader(
             train_index, cfg.batch_size, shuffle=True, drop_last=True, seed=cfg.seed

@@ -67,6 +67,17 @@ def assemble_tracknet_inputs(batch: Dict[str, jax.Array], bg_mode: str) -> jax.A
     diff = batch.get("diff")
     median = batch.get("median")
 
+    if "res_idx" in batch:
+        # Device-resident split frames (ResidentHeatmapLoader): the batch
+        # carries only (B, L) flat frame indices; pixels never leave HBM.
+        idx = batch["res_idx"]
+        if "res_rgb_buf" in batch:
+            rgb = jnp.take(batch["res_rgb_buf"], idx, axis=0)
+        if "res_diff_buf" in batch:
+            diff = jnp.take(batch["res_diff_buf"], idx, axis=0)
+        if "res_median_buf" in batch:
+            median = jnp.take(batch["res_median_buf"], batch["res_median_idx"], axis=0)
+
     if "seg_rgb" in batch or "seg_diff" in batch:
         # Segmented batches: (n_seg, seg+L-1, h, w, c) unique frames ->
         # (B, L, h, w, c) overlapping windows by device gather.

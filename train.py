@@ -29,6 +29,10 @@ def main():
     parser.add_argument("--num_devices", type=int, default=None, help="data-parallel width (default: single device)")
     parser.add_argument("--segment_windows", type=int, default=1,
                         help=">1 batches consecutive windows per segment, shipping shared frames once (less H2D traffic)")
+    parser.add_argument("--resident_frames", action="store_true", default=False,
+                        help="stage ALL split frames to device memory once; each "
+                        "step then ships only window indices (TrackNet, single "
+                        "device; falls back if the split exceeds the HBM budget)")
     parser.add_argument("--profile", type=str, default="",
                         help="capture a jax.profiler trace into this directory")
     parser.add_argument("--multihost", action="store_true", default=False,
