@@ -65,3 +65,46 @@ def test_prestaged_equals_lazy(tiny_rally, monkeypatch):
 
     for k in ("cx", "cy", "conf", "bbox"):
         np.testing.assert_array_equal(np.asarray(lazy[k]), np.asarray(staged[k]))
+
+
+def test_rally_overlap_matches_offline(tiny_rally, monkeypatch):
+    """Carried-tail rally evaluation == forward-all-windows + offline
+    ensemble + decode."""
+    import jax.numpy as jnp
+
+    import tracknetv3_tpu.data.dataset as ds
+    import tracknetv3_tpu.evaluation.test_engine as te
+    from tracknetv3_tpu.models.fused_forward import tracknet_fused_forward
+    from tracknetv3_tpu.ops.detect import decode_heatmaps
+    from tracknetv3_tpu.ops.ensemble import ensemble_offline
+    from tracknetv3_tpu.ops.preprocess import gather_windows, window_channels
+
+    data_dir, rally_dir = tiny_rally
+    monkeypatch.setattr(ds, "HEIGHT", 32)
+    monkeypatch.setattr(ds, "WIDTH", 64)
+    monkeypatch.setattr(te, "HEIGHT", 32)
+    monkeypatch.setattr(te, "WIDTH", 64)
+
+    model, variables = get_model("TrackNet", 3, "")
+    engine = RallyTestEngine(
+        (model, variables), tracknet_seq_len=3, bg_mode="", eval_mode="weight",
+        batch_size=4,
+    )
+    cache = FrameCache(data_dir, "")
+    T = 9
+    got = engine.predict_rally_heatmap(cache, rally_dir, np.arange(T))
+
+    rgb, _, _ = cache.load(rally_dir)
+    Tp = engine._pad_bucket(T)
+    rgb = np.concatenate([rgb, np.repeat(rgb[-1:], Tp - T, axis=0)])
+    L, S = 3, T - 3 + 1
+    rgb_w = gather_windows(jnp.asarray(rgb, jnp.float32), jnp.arange(S), L)
+    x = window_channels(rgb_w, None, None, "")
+    probs = tracknet_fused_forward(engine._folded, x)
+    wins = jnp.moveaxis(probs, -1, 1)
+    frames = ensemble_offline(wins, engine._weights)[:T]
+    dec = decode_heatmaps(frames)
+    np.testing.assert_array_equal(got["cx"], np.asarray(dec["cx"]))
+    np.testing.assert_array_equal(got["cy"], np.asarray(dec["cy"]))
+    np.testing.assert_array_equal(got["bbox"], np.asarray(dec["bbox"]))
+    np.testing.assert_allclose(got["conf"], np.asarray(dec["conf"]), rtol=1e-6)
