@@ -88,3 +88,57 @@ def test_subpixel_up_conv_matches_naive():
     ref16 = tracknet_fused_forward(folded, x, subpixel=False)
     got16 = tracknet_fused_forward(folded, x, subpixel=True)
     np.testing.assert_allclose(np.asarray(got16), np.asarray(ref16), atol=5e-3)
+
+
+def test_fast_bn_close_to_standard():
+    """fast_bn applies the normalization in bf16 (stats stay f32): logits
+    stay within ~bf16 compounding error of the standard path, running
+    stats match, and training still converges."""
+    model, variables, x = _setup(seq_len=3, bg_mode="")
+    ref, stats_ref = tracknet_train_forward(
+        variables["params"], variables["batch_stats"], x, train=True
+    )
+    got, stats_fast = tracknet_train_forward(
+        variables["params"], variables["batch_stats"], x, train=True, fast_bn=True
+    )
+    ref = np.asarray(ref, np.float64)
+    got = np.asarray(got, np.float64)
+    # ~11% on a RANDOM-init net (13 layers of bf16 rounding compound on
+    # random gammas); trained-net divergence is smaller and the synthetic
+    # E2E task still reaches F1=1.0 with fast_bn (VALIDATION.md). The
+    # flag trades this rounding for a 2.15x faster step (253.7 -> 118 ms).
+    rel_l2 = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel_l2 < 0.15, f"fast_bn relative L2 error {rel_l2:.4f}"
+    for block in ("down_block_1", "up_block_3"):
+        np.testing.assert_allclose(
+            np.asarray(stats_fast[block]["conv_1"]["bn"]["mean"]),
+            np.asarray(stats_ref[block]["conv_1"]["bn"]["mean"]),
+            atol=1e-3,
+        )
+
+    # convergence: a few optimizer steps with fast_bn reduce the loss
+    import jax
+
+    from tracknetv3_tpu.training.optim import build_optimizer
+    from tracknetv3_tpu.training.steps import (
+        create_train_state,
+        make_tracknet_train_step,
+    )
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "rgb": rng.integers(0, 255, (4, 3, 16, 32, 3), np.uint8),
+        "cxcy": np.stack(
+            [rng.integers(1, 31, (4, 3)), rng.integers(1, 15, (4, 3))], -1
+        ).astype(np.int32),
+        "id": np.zeros((4, 3, 2), np.int32),
+    }
+    tx = build_optimizer("Adam", 1e-3)
+    state = create_train_state(variables, tx)
+    step = make_tracknet_train_step(model, tx, "", alpha=-1, fast_bn=True)
+    losses = []
+    key = jax.random.PRNGKey(0)
+    for i in range(8):
+        state, loss = step(state, batch, jax.random.fold_in(key, i))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]

@@ -97,6 +97,10 @@ class TrainConfig:
     # step (TrackNet, single device, frame_alpha off; falls back to the
     # standard loader if the split exceeds the device budget).
     resident_frames: bool = False
+    # Apply BatchNorm normalization in the working dtype (stats stay f32):
+    # removes two full-resolution f32 round trips per conv layer at the
+    # cost of one extra bf16 rounding of the activations.
+    fast_bn: bool = False
 
     def to_param_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)

@@ -172,6 +172,7 @@ def tracknet_train_forward(
     momentum: float = 0.9,
     eps: float = 1e-5,
     dtype=jnp.bfloat16,
+    fast_bn: bool = False,
 ) -> Tuple[jax.Array, Dict[str, Any]]:
     """Functional TrackNet forward over the flax parameter tree.
 
@@ -181,6 +182,13 @@ def tracknet_train_forward(
     module's op pattern executes ~100x slower on this TPU runtime. Used by
     the jitted train/eval steps; the flax module remains the
     definition/init/parity reference.
+
+    ``fast_bn`` keeps the BatchNorm *statistics* in f32 (reductions
+    upcast on the fly - nothing f32 is materialized) but applies the
+    normalization in the working dtype: the standard path round-trips
+    every activation tensor through f32 twice per layer, which is pure
+    HBM traffic. Opt-in (config.fast_bn): activation values pick up one
+    extra bf16 rounding per layer.
 
     Returns (logits f32, new_batch_stats).
     """
@@ -197,13 +205,16 @@ def tracknet_train_forward(
             (1, 1),
             "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ).astype(jnp.float32)
+        )
+        if not fast_bn:
+            y = y.astype(jnp.float32)
         scale = params[block][sub]["bn"]["scale"]
         bias = params[block][sub]["bn"]["bias"]
         if train:
-            bmean = jnp.mean(y, axis=(0, 1, 2))
+            yf = y.astype(jnp.float32)  # reductions upcast; fused by XLA
+            bmean = jnp.mean(yf, axis=(0, 1, 2))
             bvar = jnp.maximum(
-                jnp.mean(jnp.square(y), axis=(0, 1, 2)) - jnp.square(bmean), 0.0
+                jnp.mean(jnp.square(yf), axis=(0, 1, 2)) - jnp.square(bmean), 0.0
             )
             new_stats[block][sub] = {
                 "bn": {
@@ -217,7 +228,12 @@ def tracknet_train_forward(
         else:
             mean = batch_stats[block][sub]["bn"]["mean"]
             var = batch_stats[block][sub]["bn"]["var"]
-        y = (y - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+        inv = jax.lax.rsqrt(var + eps) * scale
+        if fast_bn:
+            # fold (mean, inv, bias) into a single bf16 multiply-add
+            y = y * inv.astype(dtype) + (bias - mean * inv).astype(dtype)
+            return jnp.maximum(y, 0.0)
+        y = (y - mean) * inv + bias
         return jnp.maximum(y, 0.0).astype(dtype)
 
     def block(x, name, n):

@@ -162,7 +162,8 @@ def sample_mixup(rng, x, y, alpha: float):
 
 
 def make_tracknet_train_step(
-    model, tx, bg_mode: str, alpha: float, pallas_loss: Optional[bool] = None
+    model, tx, bg_mode: str, alpha: float, pallas_loss: Optional[bool] = None,
+    fast_bn: bool = False,
 ):
     """Jitted TrackNet train step.
 
@@ -208,7 +209,7 @@ def make_tracknet_train_step(
 
         def loss_fn(params):
             logits, new_stats = tracknet_train_forward(
-                params, state.batch_stats, x, train=True
+                params, state.batch_stats, x, train=True, fast_bn=fast_bn
             )
             if use_pallas:
                 return pw.wbce_disk_loss(logits, *targets), new_stats

@@ -29,6 +29,9 @@ def main():
     parser.add_argument("--num_devices", type=int, default=None, help="data-parallel width (default: single device)")
     parser.add_argument("--segment_windows", type=int, default=1,
                         help=">1 batches consecutive windows per segment, shipping shared frames once (less H2D traffic)")
+    parser.add_argument("--fast_bn", action="store_true", default=False,
+                        help="apply BatchNorm in bf16 (stats stay f32): cuts two "
+                        "full-res f32 memory round trips per conv layer")
     parser.add_argument("--resident_frames", action="store_true", default=False,
                         help="stage ALL split frames to device memory once; each "
                         "step then ships only window indices (TrackNet, single "
