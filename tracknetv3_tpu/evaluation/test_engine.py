@@ -161,7 +161,7 @@ class RallyTestEngine:
     def _nonoverlap_step_impl(self, rgb, diff, median, starts):
         wins = self._forward_cached(rgb, diff, median, starts)
         flat = wins.reshape((-1,) + wins.shape[2:])
-        return decode_heatmaps(flat)
+        return self._pack_dec(decode_heatmaps(flat))
 
     # --------------------------- TrackNet pipeline ---------------------------
 
@@ -241,19 +241,31 @@ class RallyTestEngine:
             staged = self._stage_rally(cache, rally_dir, frame_ids)
         rgb_dev, diff_dev, med_dev = staged
 
-        outs = []
         if self.eval_mode == "nonoverlap":
+            # packed (B*L, 8) chunks -> one device concat + ONE fetch
             n_win = -(-T // L)
+            packs, nvs = [], []
             for s in range(0, n_win, B):
                 b = min(B, n_win - s)
                 starts = np.minimum(np.arange(s, s + B) * L, max(T - 1, 0))
-                dec = self._nonoverlap_step(
-                    rgb_dev, diff_dev, med_dev, jnp.asarray(starts, jnp.int32)
+                packs.append(
+                    self._nonoverlap_step(
+                        rgb_dev, diff_dev, med_dev, jnp.asarray(starts, jnp.int32)
+                    )
                 )
-                outs.append((dec, b * L))
-            # gather_windows clips starts+j at T-1... but the buffer is
-            # padded with repeats of the last frame, giving the same
+                nvs.append(b * L)
+            # gather_windows clips starts+j at T-1; the buffer is padded
+            # with repeats of the last frame, giving the same
             # repeat-last-frame padding as the reference dataset.
+            arr = np.asarray(
+                jnp.concatenate([p[:nv] for p, nv in zip(packs, nvs)], axis=0)
+            )[:T]
+            return {
+                "cx": arr[:, 0].astype(np.int64),
+                "cy": arr[:, 1].astype(np.int64),
+                "conf": arr[:, 3],
+                "bbox": arr[:, 4:8].astype(np.int64),
+            }
         else:
             # carried-tail chunks: every window forwarded exactly once,
             # one fused flush+concat dispatch, ONE small fetch per rally
@@ -278,18 +290,6 @@ class RallyTestEngine:
                 "bbox": arr[:, 4:8].astype(np.int64),
             }
 
-        cx = np.concatenate([np.asarray(d["cx"]).reshape(-1)[:n] for d, n in outs])
-        cy = np.concatenate([np.asarray(d["cy"]).reshape(-1)[:n] for d, n in outs])
-        conf = np.concatenate([np.asarray(d["conf"]).reshape(-1)[:n] for d, n in outs])
-        bbox = np.concatenate(
-            [np.asarray(d["bbox"]).reshape(-1, 4)[:n] for d, n in outs]
-        )
-        return {
-            "cx": cx[:T],
-            "cy": cy[:T],
-            "conf": conf[:T],
-            "bbox": bbox[:T],
-        }
 
     # --------------------------- InpaintNet pipeline -------------------------
 
