@@ -80,7 +80,6 @@ class RallyTestEngine:
             )
         if eval_mode != "nonoverlap" and tracknet is not None:
             self._weights = jnp.asarray(get_ensemble_weight(self.seq_len, eval_mode))
-        self._overlap_step = jax.jit(self._overlap_step_impl)
         self._nonoverlap_step = jax.jit(self._nonoverlap_step_impl)
         self._inpaint_fwd = jax.jit(self._inpaint_fwd_impl)
         self._staged_rallies: Dict[str, tuple] = {}
@@ -111,11 +110,6 @@ class RallyTestEngine:
         x = window_channels(rgb_w, diff_w, med, self.bg_mode)
         probs = tracknet_fused_forward(self._folded, x)
         return jnp.moveaxis(probs, -1, 1)  # (B, L, H, W)
-
-    def _overlap_step_impl(self, rgb, diff, median, starts, t0, num_windows):
-        wins = self._forward_cached(rgb, diff, median, starts)
-        frames = ensemble_chunk(wins, self._weights, t0, num_windows)
-        return decode_heatmaps(frames)
 
     @staticmethod
     def _pack_dec(dec):
