@@ -90,3 +90,41 @@ def test_single_result_404s_second(tmp_path):
             _get(f"{base}/analysis2.json")
     finally:
         srv.shutdown()
+
+
+def test_correct_label_write_path(tmp_path):
+    """Label-correction POST applies clicked corrections to the rally CSV
+    (reference contract: correct_label.py:187-206)."""
+    import pandas as pd
+
+    a1 = tmp_path / "a1.json"
+    a1.write_text(json.dumps(_analysis(1)))
+    data_dir = tmp_path / "data"
+    rally = data_dir / "test" / "match1" / "frame" / "1_00_00"
+    csvd = data_dir / "test" / "match1" / "csv"
+    os.makedirs(rally)
+    os.makedirs(csvd)
+    pd.DataFrame(
+        {"Frame": range(5), "Visibility": [1] * 5, "X": [9] * 5, "Y": [9] * 5}
+    ).to_csv(csvd / "1_00_00_ball.csv", index=False)
+
+    handler = make_handler(str(a1), None, data_dir=str(data_dir), correct_mode=True)
+    srv = HTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        body = json.dumps(
+            {"rally": "1_1_00_00", "corrections": {"2": [42, 17]}}
+        ).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.server_port}/write", data=body, method="POST"
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+        out = pd.read_csv(
+            data_dir / "test" / "match1" / "corrected_csv" / "1_00_00_ball.csv"
+        )
+        row = out[out.Frame == 2].iloc[0]
+        assert (row.X, row.Y, row.Visibility) == (42, 17, 1)
+        assert (out[out.Frame == 1].iloc[0].X) == 9  # untouched rows intact
+    finally:
+        srv.shutdown()

@@ -360,7 +360,12 @@ class _Handler(BaseHTTPRequestHandler):
             return
         from ..utils.io import label_csv_path, read_label_csv
 
-        df = read_label_csv(label_csv_path(match_dir, rally_id))
+        src = label_csv_path(match_dir, rally_id)
+        if not os.path.exists(src):
+            # test matches resolve to corrected_csv, which may not be
+            # installed yet - start from the raw labels
+            src = os.path.join(match_dir, "csv", f"{rally_id}_ball.csv")
+        df = read_label_csv(src)
         for i, (x, y) in corrections.items():
             df.loc[df["Frame"] == i, ["X", "Y", "Visibility"]] = [x, y, 1]
         out_dir = os.path.join(match_dir, "corrected_csv")
