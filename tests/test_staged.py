@@ -226,3 +226,14 @@ def test_run_staged_sharded_nonoverlap(tmp_path, small_res):
     pred_single = p.run_staged(staged, img_scaler=(1.0, 1.0))
     pred_sharded = p.run_staged(staged, img_scaler=(1.0, 1.0), mesh=make_mesh(8))
     assert pred_single == pred_sharded
+
+
+def test_run_staged_tiny_video(tmp_path, small_res):
+    """T < L: one clipped window, flush emits the remaining frames."""
+    p = _make_predictor(tmp_path, bg_mode="concat", batch_size=4)
+    rng = np.random.default_rng(14)
+    buf = rng.integers(0, 255, (2, H, W, 3), np.uint8)  # T=2 < L=3
+    staged = _staged_from_buf(p, buf)
+    pred = p.run_staged(staged, img_scaler=(1.0, 1.0))
+    assert pred["Frame"] == [0, 1]
+    assert len(pred["X"]) == 2

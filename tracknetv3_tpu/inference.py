@@ -1085,6 +1085,14 @@ def predict_video(
         frames = reader.read_all()
         reader.release()
         pred = predictor.predict_frames(frames, img_scaler=img_scaler)
+    elif reader.video_len * HEIGHT * WIDTH * 3 > 8e9:
+        # Staging would exceed the device-memory budget (>~18k frames of
+        # model-res uint8); fall back to bounded-memory streaming rather
+        # than OOM mid-upload.
+        reader.release()
+        pred = predictor.predict_video_streaming(
+            video_file, max_sample_num=max_sample_num, video_range=video_range
+        )
     else:
         reader.release()
         staged = predictor.stage_video(video_file)
