@@ -248,16 +248,16 @@ class _Handler(BaseHTTPRequestHandler):
         reference UI, which reads them live: error_analysis.py:148-153)."""
         import numpy as np
 
-        from ..utils.io import label_csv_path, read_label_csv
+        from ..utils.io import label_csv_path, read_label_rows
 
         match_id, rally_id = rally_key.split("_", 1)
         for split in ("test", "val", "train"):
             match_dir = os.path.join(self.data_dir, split, f"match{match_id}")
             if os.path.isdir(os.path.join(match_dir, "frame", rally_id)):
-                df = read_label_csv(label_csv_path(match_dir, rally_id))
+                rows = read_label_rows(label_csv_path(match_dir, rally_id))
                 return (
-                    np.asarray(df["X"], np.float64),
-                    np.asarray(df["Y"], np.float64),
+                    np.asarray(rows["X"], np.float64),
+                    np.asarray(rows["Y"], np.float64),
                 )
         return None
 
@@ -358,20 +358,22 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             self.send_error(404)
             return
-        from ..utils.io import label_csv_path, read_label_csv
+        from ..utils.io import label_csv_path, read_label_rows, write_label_rows
 
         src = label_csv_path(match_dir, rally_id)
         if not os.path.exists(src):
             # test matches resolve to corrected_csv, which may not be
             # installed yet - start from the raw labels
             src = os.path.join(match_dir, "csv", f"{rally_id}_ball.csv")
-        df = read_label_csv(src)
-        for i, (x, y) in corrections.items():
-            df.loc[df["Frame"] == i, ["X", "Y", "Visibility"]] = [x, y, 1]
+        rows = read_label_rows(src)
+        for j, frame in enumerate(rows["Frame"]):
+            if int(frame) in corrections:
+                x, y = corrections[int(frame)]
+                rows["X"][j], rows["Y"][j], rows["Visibility"][j] = x, y, 1
         out_dir = os.path.join(match_dir, "corrected_csv")
         os.makedirs(out_dir, exist_ok=True)
         out = os.path.join(out_dir, f"{rally_id}_ball.csv")
-        df.to_csv(out, index=False)
+        write_label_rows(rows, out)
         self._send(f"Wrote {len(corrections)} corrections to {out}".encode(), "text/plain")
 
 

@@ -96,6 +96,46 @@ def read_label_csv(csv_file: str) -> pd.DataFrame:
     return df
 
 
+def read_label_rows(csv_file: str) -> Dict[str, list]:
+    """Pandas-free label CSV reader: column dict of floats, rows sorted by
+    Frame, blank/NaN cells -> 0 (same semantics as read_label_csv).
+
+    The web UI serves requests from a secondary HTTP-server thread where
+    pandas' arrow-backed string index construction segfaults on some hosts;
+    every CSV touch on that path must stay off pandas."""
+    import csv
+
+    def val(s):
+        try:
+            f = float(s)
+            return f if f == f else 0.0  # NaN -> 0
+        except (TypeError, ValueError):
+            return 0.0
+
+    with open(csv_file, newline="", encoding="utf8") as f:
+        reader = csv.DictReader(f)
+        cols = list(reader.fieldnames or [])
+        rows = sorted(reader, key=lambda row: val(row.get("Frame")))
+    return {c: [val(row.get(c)) for row in rows] for c in cols}
+
+
+def write_label_rows(rows: Dict[str, list], save_file: str) -> None:
+    """Pandas-free CSV writer for read_label_rows dicts; integral floats are
+    written as ints to match the reference CSV style."""
+    import csv
+
+    def fmt(v):
+        return int(v) if float(v).is_integer() else v
+
+    cols = list(rows)
+    n = len(rows[cols[0]]) if cols else 0
+    with open(save_file, "w", newline="", encoding="utf8") as f:
+        w = csv.writer(f)
+        w.writerow(cols)
+        for i in range(n):
+            w.writerow([fmt(rows[c][i]) for c in cols])
+
+
 def write_pred_csv(pred_dict: Dict, save_file: str, save_inpaint_mask: bool = False):
     """Write the prediction CSV (reference contract: general.py:322-354)."""
     if save_inpaint_mask:
