@@ -73,17 +73,25 @@ def get_checkpoint(tmpdir, seq_len=8, bg_mode="concat"):
     weight-independent)."""
     path = os.path.join(tmpdir, f"bench_TrackNet_{seq_len}_{bg_mode or 'none'}.pt")
     if not os.path.exists(path):
-        from tracknetv3_tpu.models import get_model
-        from tracknetv3_tpu.training.checkpoint import save_checkpoint
+        # Model init runs device programs; on this relay ANY execution
+        # permanently degrades the pre-execution fast H2D path that video
+        # staging depends on (PROFILE.md). A fresh /tmp (as under the
+        # driver) would therefore pay ~20 MB/s staging if we initialized
+        # in-process. Create the checkpoint in a CPU-only subprocess so
+        # the benching process never executes before staging.
+        import subprocess
 
-        model, variables = get_model("TrackNet", seq_len, bg_mode)
-        save_checkpoint(
-            path,
-            epoch=0,
-            max_val_acc=0.0,
-            model=variables,
-            param_dict=dict(model_name="TrackNet", seq_len=seq_len, bg_mode=bg_mode),
-        )
+        code = (
+            "import sys; sys.path.insert(0, {repo!r})\n"
+            "from tracknetv3_tpu.models import get_model\n"
+            "from tracknetv3_tpu.training.checkpoint import save_checkpoint\n"
+            "model, variables = get_model('TrackNet', {L}, {bg!r})\n"
+            "save_checkpoint({path!r}, epoch=0, max_val_acc=0.0, model=variables,\n"
+            "    param_dict=dict(model_name='TrackNet', seq_len={L}, bg_mode={bg!r}))\n"
+        ).format(repo=os.path.dirname(os.path.abspath(__file__)), L=seq_len,
+                 bg=bg_mode, path=path)
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        subprocess.run([sys.executable, "-c", code], check=True, env=env)
     return path
 
 

@@ -1,0 +1,169 @@
+// Native video decoder for the staging hot path.
+//
+// libavformat/libavcodec demux + decode with optional DCT-domain lowres
+// (mpeg4-family codecs can decode at 1/2^k resolution directly), then
+// libswscale converts/scales each frame straight to the model input
+// resolution into a caller-provided packed buffer. This replaces
+// cv2.VideoCapture on the predict staging path, which always converts
+// YUV->BGR at FULL source resolution before the host resize (the
+// TPU-side equivalent of the reference's decode loop,
+// reference predict.py:126-161).
+//
+// C ABI only - consumed via ctypes (tracknetv3_tpu/native_video.py).
+// Build: make -C native libtrackvideo.so (links system libav* if present).
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libswscale/swscale.h>
+}
+
+#include <cstring>
+
+namespace {
+
+struct VDec {
+  AVFormatContext *fmt = nullptr;
+  AVCodecContext *cc = nullptr;
+  SwsContext *sws = nullptr;
+  AVFrame *frame = nullptr;
+  AVPacket *pkt = nullptr;
+  int stream = -1;
+  int out_w = 0, out_h = 0;
+  int sws_src_w = -1, sws_src_h = -1, sws_src_fmt = -1;
+  bool eof_sent = false;
+  bool done = false;
+};
+
+void vdec_free(VDec *d) {
+  if (!d) return;
+  if (d->sws) sws_freeContext(d->sws);
+  if (d->frame) av_frame_free(&d->frame);
+  if (d->pkt) av_packet_free(&d->pkt);
+  if (d->cc) avcodec_free_context(&d->cc);
+  if (d->fmt) avformat_close_input(&d->fmt);
+  delete d;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Open a video. out_w/out_h: packed output resolution. lowres: requested
+// DCT-domain decode reduction (clamped to the codec's max; 0 = full res).
+// Reports the CONTAINER-declared source dims (full resolution - callers
+// scale coordinates with these), frame count (-1 if unknown), fps, and the
+// lowres level actually applied. Returns nullptr on any failure.
+void *vdec_open(const char *path, int out_w, int out_h, int lowres,
+                int *src_w, int *src_h, long long *nframes, double *fps,
+                int *applied_lowres) {
+  VDec *d = new VDec();
+  d->out_w = out_w;
+  d->out_h = out_h;
+  if (avformat_open_input(&d->fmt, path, nullptr, nullptr) < 0) {
+    vdec_free(d);
+    return nullptr;
+  }
+  if (avformat_find_stream_info(d->fmt, nullptr) < 0) {
+    vdec_free(d);
+    return nullptr;
+  }
+  const AVCodec *codec = nullptr;
+  d->stream =
+      av_find_best_stream(d->fmt, AVMEDIA_TYPE_VIDEO, -1, -1, &codec, 0);
+  if (d->stream < 0 || !codec) {
+    vdec_free(d);
+    return nullptr;
+  }
+  AVStream *st = d->fmt->streams[d->stream];
+  d->cc = avcodec_alloc_context3(codec);
+  if (!d->cc || avcodec_parameters_to_context(d->cc, st->codecpar) < 0) {
+    vdec_free(d);
+    return nullptr;
+  }
+  d->cc->thread_count = 1;  // single-core hosts: threads only add overhead
+  int lr = lowres;
+  if (lr > codec->max_lowres) lr = codec->max_lowres;
+  if (lr < 0) lr = 0;
+  d->cc->lowres = lr;
+  if (applied_lowres) *applied_lowres = lr;
+  if (avcodec_open2(d->cc, codec, nullptr) < 0) {
+    vdec_free(d);
+    return nullptr;
+  }
+  d->frame = av_frame_alloc();
+  d->pkt = av_packet_alloc();
+  if (!d->frame || !d->pkt) {
+    vdec_free(d);
+    return nullptr;
+  }
+  if (src_w) *src_w = st->codecpar->width;
+  if (src_h) *src_h = st->codecpar->height;
+  if (nframes) *nframes = st->nb_frames > 0 ? st->nb_frames : -1;
+  if (fps) {
+    AVRational r = st->avg_frame_rate;
+    *fps = (r.den > 0 && r.num > 0) ? av_q2d(r) : 0.0;
+  }
+  return d;
+}
+
+// Decode up to max_frames frames, scaling/converting each into ``out``
+// (packed HxWx3, frame-major; bgr selects BGR24 vs RGB24). Returns the
+// number of frames written; 0 at end of stream; -1 on decode error.
+int vdec_read(void *h, unsigned char *out, int max_frames, int bgr) {
+  VDec *d = static_cast<VDec *>(h);
+  if (!d || d->done) return 0;
+  const int frame_bytes = d->out_w * d->out_h * 3;
+  int written = 0;
+  while (written < max_frames) {
+    int rr = avcodec_receive_frame(d->cc, d->frame);
+    if (rr == 0) {
+      AVFrame *f = d->frame;
+      if (!d->sws || f->width != d->sws_src_w || f->height != d->sws_src_h ||
+          f->format != d->sws_src_fmt) {
+        if (d->sws) sws_freeContext(d->sws);
+        d->sws = sws_getContext(
+            f->width, f->height, static_cast<AVPixelFormat>(f->format),
+            d->out_w, d->out_h, bgr ? AV_PIX_FMT_BGR24 : AV_PIX_FMT_RGB24,
+            SWS_BILINEAR, nullptr, nullptr, nullptr);
+        d->sws_src_w = f->width;
+        d->sws_src_h = f->height;
+        d->sws_src_fmt = f->format;
+        if (!d->sws) return -1;
+      }
+      uint8_t *dst[4] = {out + static_cast<size_t>(written) * frame_bytes,
+                         nullptr, nullptr, nullptr};
+      int dst_stride[4] = {d->out_w * 3, 0, 0, 0};
+      sws_scale(d->sws, f->data, f->linesize, 0, f->height, dst, dst_stride);
+      av_frame_unref(f);
+      ++written;
+      continue;
+    }
+    if (rr == AVERROR_EOF) {
+      d->done = true;
+      break;
+    }
+    if (rr != AVERROR(EAGAIN)) return -1;
+    // feed more packets
+    if (d->eof_sent) continue;  // EAGAIN after flush should not happen
+    int pr = av_read_frame(d->fmt, d->pkt);
+    if (pr < 0) {
+      avcodec_send_packet(d->cc, nullptr);  // start draining
+      d->eof_sent = true;
+      continue;
+    }
+    if (d->pkt->stream_index == d->stream) {
+      if (avcodec_send_packet(d->cc, d->pkt) < 0) {
+        av_packet_unref(d->pkt);
+        return -1;
+      }
+    }
+    av_packet_unref(d->pkt);
+  }
+  return written;
+}
+
+void vdec_close(void *h) { vdec_free(static_cast<VDec *>(h)); }
+
+}  // extern "C"

@@ -30,6 +30,14 @@ def main():
         "kernel (reference-exact resize; slower staging) instead of the default "
         "host INTER_LINEAR resize during decode",
     )
+    parser.add_argument(
+        "--cv2_decode",
+        action="store_true",
+        default=False,
+        help="force the cv2 staging decoder instead of the native libav "
+        "reader (which scales during decode and uses DCT-domain lowres on "
+        "large sources); for A/B parity checks",
+    )
     parser.add_argument("--profile", type=str, default="", help="capture a jax.profiler trace into this directory")
     args = parser.parse_args()
 
@@ -56,6 +64,7 @@ def _run_predict(args):
         output_video=args.output_video,
         traj_len=args.traj_len,
         device_resize=args.device_resize,
+        native_decode=not args.cv2_decode,
     )
 
 

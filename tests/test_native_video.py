@@ -1,0 +1,143 @@
+"""Native libav video decoder: parity with cv2, adaptive lowres, fallback.
+
+The staging path decodes with native/video_decode.cpp when available
+(scale+convert straight to model resolution, DCT-domain lowres on big
+sources); these pin its contract against the cv2 reference path.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from tracknetv3_tpu.config import HEIGHT, WIDTH
+from tracknetv3_tpu.native_video import open_native_video, probe_video
+
+cv2 = pytest.importorskip("cv2")
+
+
+def _write_clip(path, n=24, w=1280, h=720):
+    vw = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), 30, (w, h))
+    rng = np.random.default_rng(7)
+    # Band-limited texture (like real video content): raw per-pixel noise
+    # would amplify the bilinear-kernel difference between swscale and
+    # cv2.INTER_LINEAR into aliasing noise that no real frame exhibits.
+    base = rng.integers(40, 90, (h, w, 3), np.uint8)
+    base = cv2.GaussianBlur(base, (9, 9), 3)
+    for t in range(n):
+        f = base.copy()
+        x, y = 100 + 30 * t, 300 + 5 * t
+        f[y : y + 12, x : x + 12] = 255
+        vw.write(f)
+    vw.release()
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def clip(tmp_path_factory):
+    return _write_clip(tmp_path_factory.mktemp("vid") / "clip.mp4")
+
+
+def _native_available(clip):
+    return open_native_video(clip, WIDTH, HEIGHT) is not None
+
+
+def test_probe_reports_source_dims(clip):
+    if not _native_available(clip):
+        pytest.skip("native video decoder unavailable")
+    w, h, n, fps = probe_video(clip)
+    assert (w, h) == (1280, 720)
+    assert n == 24
+    assert abs(fps - 30.0) < 0.01
+
+
+@pytest.mark.parametrize("lowres", [0, 1])
+def test_decode_matches_cv2_resize(clip, lowres):
+    """Decoded+scaled frames stay close to cv2's full-res decode + INTER_LINEAR
+    resize (different bilinear kernels; the model input tolerance is wide)."""
+    r = open_native_video(clip, WIDTH, HEIGHT, lowres=lowres, bgr=True)
+    if r is None:
+        pytest.skip("native video decoder unavailable")
+    buf = np.empty((24, HEIGHT, WIDTH, 3), np.uint8)
+    n = r.read_into(buf)
+    r.close()
+    assert n == 24
+
+    cap = cv2.VideoCapture(clip)
+    ref = []
+    while True:
+        ok, f = cap.read()
+        if not ok:
+            break
+        ref.append(cv2.resize(f, (WIDTH, HEIGHT), interpolation=cv2.INTER_LINEAR))
+    cap.release()
+    ref = np.stack(ref)
+    d = np.abs(buf[:n].astype(int) - ref.astype(int))
+    assert d.mean() < 3.0
+    assert np.percentile(d, 99) <= 8
+
+
+def test_reads_are_batched_and_terminate(clip):
+    r = open_native_video(clip, WIDTH, HEIGHT, lowres=1)
+    if r is None:
+        pytest.skip("native video decoder unavailable")
+    total = 0
+    while True:
+        b = r.read_batch(7)
+        if b is None:
+            break
+        assert b.shape[1:] == (HEIGHT, WIDTH, 3)
+        total += b.shape[0]
+    r.close()
+    assert total == 24
+
+
+def test_lowres_clamped_to_source_dims(tmp_path):
+    """A source at exactly model resolution must never be decoded below it
+    (upload_video_slabs picks lowres so decoded dims >= model input)."""
+    small = _write_clip(tmp_path / "small.mp4", n=8, w=WIDTH, h=HEIGHT)
+    r = open_native_video(small, WIDTH, HEIGHT, lowres=0)
+    if r is None:
+        pytest.skip("native video decoder unavailable")
+    assert r.applied_lowres == 0
+    buf = np.empty((8, HEIGHT, WIDTH, 3), np.uint8)
+    assert r.read_into(buf) == 8
+    r.close()
+
+
+def test_open_missing_file_returns_none(tmp_path):
+    assert open_native_video(str(tmp_path / "nope.mp4"), WIDTH, HEIGHT) is None
+
+
+def test_staging_native_matches_cv2_path(clip):
+    """upload_video_slabs pixels agree between the native and cv2 backends
+    (and both report the full-resolution source dims)."""
+    import jax
+
+    from tracknetv3_tpu.models import get_model
+    from tracknetv3_tpu.training.checkpoint import save_checkpoint
+    from tracknetv3_tpu.inference import TrackNetPredictor
+
+    ckpt = os.path.join(os.path.dirname(clip), "m.pt")
+    if not os.path.exists(ckpt):
+        _, variables = get_model("TrackNet", 3, "")
+        save_checkpoint(
+            ckpt,
+            epoch=0,
+            max_val_acc=0.0,
+            model=variables,
+            param_dict=dict(model_name="TrackNet", seq_len=3, bg_mode=""),
+        )
+    pred_native = TrackNetPredictor(ckpt, batch_size=4)
+    slabs_n, wh_n = pred_native.upload_video_slabs(clip, slab_frames=10)
+    pred_cv2 = TrackNetPredictor(ckpt, batch_size=4, native_decode=False)
+    slabs_c, wh_c = pred_cv2.upload_video_slabs(clip, slab_frames=10)
+    assert wh_n == wh_c == (1280, 720)
+    assert pred_cv2.decode_backend == "cv2"
+    if pred_native.decode_backend == "cv2":
+        pytest.skip("native video decoder unavailable")
+    assert pred_native.decode_backend == "native-lowres1"
+    a = np.concatenate([np.asarray(s) for s in slabs_n])
+    b = np.concatenate([np.asarray(s) for s in slabs_c])
+    assert a.shape == b.shape
+    assert np.abs(a.astype(int) - b.astype(int)).mean() < 3.0

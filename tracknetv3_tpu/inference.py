@@ -75,6 +75,7 @@ class TrackNetPredictor:
         eval_mode: str = "weight",
         batch_size: int = 16,
         compute_dtype=None,
+        native_decode: bool = True,
     ):
         # bf16 rides the MXU at 2x the f32 rate and is the production
         # default; f32 is for numerics work (e.g. cross-framework parity
@@ -93,6 +94,11 @@ class TrackNetPredictor:
         self.bg_mode = tn_pd.get("bg_mode", "")
         self.eval_mode = eval_mode
         self.batch_size = int(batch_size)
+        # Staging decode backend: native libav reader with adaptive
+        # DCT-domain lowres when available (see upload_video_slabs),
+        # cv2 otherwise. decode_backend records what the last staging used.
+        self.native_decode = bool(native_decode)
+        self.decode_backend = "unused"
         self.inpaintnet = None
         if inpaintnet_file:
             self.inpaintnet, self.inpaintnet_vars, in_pd = load_model_from_checkpoint(
@@ -363,48 +369,88 @@ class TrackNetPredictor:
     ) -> Tuple[List[jax.Array], Tuple[int, int]]:
         """Decode + host-resize + upload a video (the program-free phase).
 
-        A producer thread decodes and resizes (cv2 INTER_LINEAR, BGR kept -
-        the RGB flip happens on device for free); the main thread ships
-        each slab with ``device_put`` - the RPC releases the GIL, so decode
-        and upload overlap on a single core. Runs NO device program, so it
-        rides the fast H2D path as long as nothing has executed yet.
-        Returns (device slabs, source (w, h))."""
-        import cv2
+        A producer thread decodes and resizes (BGR kept - the RGB flip
+        happens on device for free); the main thread ships each slab with
+        ``device_put`` - both the native decode call and the RPC release
+        the GIL, so decode and upload overlap on a single core. Runs NO
+        device program, so it rides the fast H2D path as long as nothing
+        has executed yet. Returns (device slabs, source (w, h)).
 
-        cap = cv2.VideoCapture(video_file)
-        if not cap.isOpened():
-            raise FileNotFoundError(video_file)
-        w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
-        h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        Decode prefers the native libav reader (native_video.py), which
+        converts straight to model resolution and - when the source is
+        large enough that the decoded frames still cover the model input -
+        decodes at DCT-domain half resolution (mpeg4-family ``lowres``),
+        ~1.7x faster than cv2's full-res YUV->BGR + resize. Falls back to
+        cv2 when the native library or codec support is unavailable."""
+        from .native_video import open_native_video, probe_video
 
         q: "queue.Queue" = queue.Queue(maxsize=8)
         SENTINEL = object()
 
-        def producer():
-            # NOTE: cv2.resize(dst=slab_view) measures 2x SLOWER than
-            # fresh-allocation resize + np.stack on this host; keep the
-            # simple append form. grab+retrieve(dst) reuses one decode
-            # buffer (~0.15 ms/frame cheaper than read()).
-            try:
-                frame = np.empty((h, w, 3), np.uint8)
-                buf: List[np.ndarray] = []
-                while cap.grab():
-                    ok, f = cap.retrieve(frame)
-                    if not ok:
-                        break
-                    buf.append(
-                        cv2.resize(
-                            f, (WIDTH, HEIGHT), interpolation=cv2.INTER_LINEAR
+        probe = probe_video(video_file) if self.native_decode else None
+        if probe is not None:
+            w, h = probe[0], probe[1]
+            # Largest DCT-domain reduction that still decodes at >= model
+            # resolution (so the swscale step always DOWNscales).
+            k = 0
+            while k < 3 and (w >> (k + 1)) >= WIDTH and (h >> (k + 1)) >= HEIGHT:
+                k += 1
+            reader = open_native_video(
+                video_file, WIDTH, HEIGHT, lowres=k, bgr=True
+            )
+        else:
+            reader = None
+
+        if reader is not None:
+            self.decode_backend = f"native-lowres{reader.applied_lowres}"
+
+            def producer():
+                try:
+                    while True:
+                        buf = np.empty((slab_frames, HEIGHT, WIDTH, 3), np.uint8)
+                        n = reader.read_into(buf)  # releases the GIL
+                        if n <= 0:
+                            break
+                        q.put(buf[:n])
+                    reader.close()
+                finally:
+                    q.put(SENTINEL)
+
+        else:
+            import cv2
+
+            cap = cv2.VideoCapture(video_file)
+            if not cap.isOpened():
+                raise FileNotFoundError(video_file)
+            w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+            h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+            self.decode_backend = "cv2"
+
+            def producer():
+                # NOTE: cv2.resize(dst=slab_view) measures 2x SLOWER than
+                # fresh-allocation resize + np.stack on this host; keep the
+                # simple append form. grab+retrieve(dst) reuses one decode
+                # buffer (~0.15 ms/frame cheaper than read()).
+                try:
+                    frame = np.empty((h, w, 3), np.uint8)
+                    buf: List[np.ndarray] = []
+                    while cap.grab():
+                        ok, f = cap.retrieve(frame)
+                        if not ok:
+                            break
+                        buf.append(
+                            cv2.resize(
+                                f, (WIDTH, HEIGHT), interpolation=cv2.INTER_LINEAR
+                            )
                         )
-                    )
-                    if len(buf) == slab_frames:
+                        if len(buf) == slab_frames:
+                            q.put(np.stack(buf))
+                            buf = []
+                    if buf:
                         q.put(np.stack(buf))
-                        buf = []
-                if buf:
-                    q.put(np.stack(buf))
-                cap.release()
-            finally:
-                q.put(SENTINEL)
+                    cap.release()
+                finally:
+                    q.put(SENTINEL)
 
         threading.Thread(target=producer, daemon=True).start()
         slabs = []
@@ -1053,6 +1099,7 @@ def predict_video(
     traj_len: int = 8,
     video_name: Optional[str] = None,
     device_resize: bool = False,
+    native_decode: bool = True,
 ) -> Dict[str, list]:
     """Full predict CLI flow (reference: predict.py:71-312).
 
@@ -1069,6 +1116,7 @@ def predict_video(
         inpaintnet_file or None,
         eval_mode=eval_mode,
         batch_size=batch_size,
+        native_decode=native_decode,
     )
     reader = VideoReader(video_file)
     w, h = reader.w, reader.h

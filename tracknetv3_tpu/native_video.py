@@ -1,0 +1,183 @@
+"""ctypes bindings for the native video decoder (native/video_decode.cpp).
+
+libavformat/libavcodec decode with optional DCT-domain ``lowres`` plus a
+libswscale scale+convert straight to the model input resolution - the
+staging-path replacement for cv2.VideoCapture, which always converts
+YUV->BGR at full source resolution before the host resize (TPU-side
+equivalent of the reference decode loop, reference predict.py:126-161).
+
+Builds ``native/libtrackvideo.so`` on demand; requires system ffmpeg dev
+libs, so ``open_native_video`` returns None whenever the library cannot be
+built/loaded or the file cannot be opened - callers then use cv2.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libtrackvideo.so")
+
+_lib = None
+_lock = threading.Lock()
+_build_failed = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _build_failed:
+            return None
+        if not os.path.exists(_LIB_PATH):
+            try:
+                subprocess.run(
+                    ["make", "-s", "-C", _NATIVE_DIR, "video"],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+            except Exception:
+                _build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            _build_failed = True
+            return None
+        lib.vdec_open.restype = ctypes.c_void_p
+        lib.vdec_open.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_longlong),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.vdec_read.restype = ctypes.c_int
+        lib.vdec_read.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.vdec_close.restype = None
+        lib.vdec_close.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+class NativeVideoReader:
+    """Decode a video to packed (N, out_h, out_w, 3) uint8 batches.
+
+    ``lowres`` asks the codec for DCT-domain reduced-resolution decode
+    (mpeg4-family; clamped to the codec's max - ``applied_lowres`` reports
+    what was granted). Source dims/fps always describe the full-resolution
+    container stream, so coordinate scalers are unaffected by lowres.
+    """
+
+    def __init__(
+        self,
+        video_file: str,
+        out_w: int,
+        out_h: int,
+        lowres: int = 0,
+        bgr: bool = True,
+    ):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native video decoder unavailable")
+        sw = ctypes.c_int()
+        sh = ctypes.c_int()
+        nf = ctypes.c_longlong()
+        fps = ctypes.c_double()
+        alr = ctypes.c_int()
+        self._h = lib.vdec_open(
+            video_file.encode(),
+            out_w,
+            out_h,
+            lowres,
+            ctypes.byref(sw),
+            ctypes.byref(sh),
+            ctypes.byref(nf),
+            ctypes.byref(fps),
+            ctypes.byref(alr),
+        )
+        if not self._h:
+            raise RuntimeError(f"native open failed: {video_file}")
+        self._lib = lib
+        self.out_w, self.out_h = out_w, out_h
+        self.src_w, self.src_h = sw.value, sh.value
+        self.n_frames = int(nf.value)  # -1 when the container doesn't say
+        self.fps = fps.value
+        self.applied_lowres = alr.value
+        self.bgr = bgr
+
+    def read_batch(self, max_frames: int) -> Optional[np.ndarray]:
+        """Next ``<= max_frames`` frames, or None at end of stream."""
+        out = np.empty((max_frames, self.out_h, self.out_w, 3), np.uint8)
+        n = self.read_into(out)
+        if n <= 0:
+            return None
+        return out[:n]
+
+    def read_into(self, out: np.ndarray) -> int:
+        """Decode into a preallocated (N, out_h, out_w, 3) C-contiguous
+        uint8 array; returns frames written (0 at EOS, raises on error).
+        The foreign call releases the GIL, so a producer thread decoding
+        with this overlaps the main thread's upload RPCs on one core."""
+        if self._h is None:
+            return 0
+        assert out.dtype == np.uint8 and out.flags.c_contiguous
+        n = self._lib.vdec_read(
+            self._h,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            int(out.shape[0]),
+            1 if self.bgr else 0,
+        )
+        if n < 0:
+            raise RuntimeError("native video decode error")
+        return n
+
+    def close(self):
+        if getattr(self, "_h", None):
+            self._lib.vdec_close(self._h)
+            self._h = None
+
+    def __del__(self):  # pragma: no cover - GC timing
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def open_native_video(
+    video_file: str, out_w: int, out_h: int, lowres: int = 0, bgr: bool = True
+) -> Optional[NativeVideoReader]:
+    """NativeVideoReader or None (no toolchain/ffmpeg libs/open failure)."""
+    try:
+        return NativeVideoReader(video_file, out_w, out_h, lowres=lowres, bgr=bgr)
+    except Exception:
+        return None
+
+
+def probe_video(video_file: str) -> Optional[Tuple[int, int, int, float]]:
+    """(src_w, src_h, n_frames, fps) via the native decoder, else None."""
+    r = open_native_video(video_file, 64, 36)
+    if r is None:
+        return None
+    try:
+        return (r.src_w, r.src_h, r.n_frames, r.fps)
+    finally:
+        r.close()
