@@ -147,8 +147,13 @@ def test_median_staged_sampling(tmp_path, small_res):
 
 def test_stage_video_matches_stage_frames_host(tmp_path, small_res):
     """stage_video (BGR decode + device flip) and stage_frames_host (RGB
-    in-memory) must produce identical predictions for the same video."""
+    in-memory) must produce identical predictions for the same video.
+
+    Pins the cv2 decode path, which is bit-exact against an in-memory cv2
+    decode; the default native libav path trades pixel-exactness for
+    decode speed and is tolerance-pinned in test_native_video.py."""
     p = _make_predictor(tmp_path, bg_mode="concat")
+    p.native_decode = False
     rng = np.random.default_rng(8)
     # source video at 2x model res; smooth content so mp4 is ~lossless
     T, sh, sw = 10, 2 * H, 2 * W

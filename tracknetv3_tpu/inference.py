@@ -818,13 +818,33 @@ class TrackNetPredictor:
 
         Host work per frame (cv2 INTER_AREA resize + optional mod-256
         diff) replicates the FrameCache recipe; device receives only
-        288x512 uint8 tensors."""
+        288x512 uint8 tensors. bg modes without a full-resolution
+        background diff ('' and 'concat') decode with the native libav
+        reader when available - scale-during-decode straight to model-res
+        RGB, with DCT-domain lowres on large sources (native_video.py)."""
         import cv2
 
         T = reader.video_len
         L, B = self.seq_len, self.batch_size
         need_diff = self.bg_mode in ("subtract", "subtract_concat")
         need_rgb = self.bg_mode in ("", "subtract_concat", "concat")
+
+        native_reader = None
+        if not need_diff and self.native_decode:
+            from .native_video import open_native_video
+
+            w, h = reader.w, reader.h
+            k = 0
+            while k < 3 and (w >> (k + 1)) >= WIDTH and (h >> (k + 1)) >= HEIGHT:
+                k += 1
+            native_reader = open_native_video(
+                reader.path, WIDTH, HEIGHT, lowres=k, bgr=False
+            )
+        if native_reader is not None:
+            self.decode_backend = f"native-lowres{native_reader.applied_lowres}"
+            reader.release()
+        else:
+            self.decode_backend = "cv2"
         med_resized = None
         if self.bg_mode == "concat":
             med_resized = jnp.asarray(
@@ -857,9 +877,33 @@ class TrackNetPredictor:
 
         nonoverlap = self.eval_mode == "nonoverlap"
 
+        if native_reader is not None:
+            _nbuf: Dict[str, object] = {"arr": None, "i": 0}
+
+            def read_processed():
+                arr = _nbuf["arr"]
+                if arr is None or _nbuf["i"] >= len(arr):
+                    arr = native_reader.read_batch(64)  # releases the GIL
+                    _nbuf["arr"], _nbuf["i"] = arr, 0
+                    if arr is None:
+                        return None
+                f = arr[_nbuf["i"]]
+                _nbuf["i"] += 1
+                return f, None  # already model-res RGB; no diff channel
+
+        else:
+
+            def read_processed():
+                f = reader.read()
+                if f is None:
+                    return None
+                r, d = process(f)
+                return r, d
+
         def producer():
             try:
-                reader.seek(0)
+                if native_reader is None:
+                    reader.seek(0)
                 buf_rgb, buf_diff = [], []
                 base = 0
                 if nonoverlap:
@@ -868,10 +912,10 @@ class TrackNetPredictor:
                     emitted = 0
                     while emitted < total:
                         while len(buf_rgb) < B * L:
-                            f = reader.read()
-                            if f is None:
+                            item = read_processed()
+                            if item is None:
                                 break
-                            r, d = process(f)
+                            r, d = item
                             buf_rgb.append(r)
                             buf_diff.append(d)
                         if not buf_rgb:
@@ -894,10 +938,10 @@ class TrackNetPredictor:
                     for t0 in range(0, T, B):
                         hi = min(t0 + B + L - 1, T)
                         while base + len(buf_rgb) < hi:
-                            f = reader.read()
-                            if f is None:
+                            item = read_processed()
+                            if item is None:
                                 break
-                            r, d = process(f)
+                            r, d = item
                             buf_rgb.append(r)
                             buf_diff.append(d)
                         lo = max(t0 - L + 1, 0)
@@ -919,7 +963,10 @@ class TrackNetPredictor:
                             else None
                         )
                         q.put((rgb, diff, t0, min(B, T - t0)))
-                reader.release()
+                if native_reader is not None:
+                    native_reader.close()
+                else:
+                    reader.release()
             finally:
                 q.put(SENTINEL)
 

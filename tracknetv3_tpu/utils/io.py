@@ -173,6 +173,7 @@ class VideoReader:
         _require_cv2()
         if not os.path.exists(video_file):
             raise FileNotFoundError(video_file)
+        self.path = video_file
         self.cap = cv2.VideoCapture(video_file)
         self.video_len = int(self.cap.get(cv2.CAP_PROP_FRAME_COUNT))
         self.fps = float(self.cap.get(cv2.CAP_PROP_FPS))
