@@ -319,7 +319,11 @@ def train(config: TrainConfig, data_dir: str = "data", verbose_print=print) -> D
             losses.append(loss)
             if (step_i + 1) % display_step == 0:
                 visualize_step(state, batch, step_i)
-        train_loss = float(np.mean([float(l) for l in losses])) if losses else 0.0
+        # One stacked fetch: per-scalar float(l) would pay the ~35 ms relay
+        # round trip per training step at epoch end (seconds per epoch).
+        train_loss = (
+            float(np.mean(np.asarray(jnp.stack(losses)))) if losses else 0.0
+        )
 
         val_loss, val_res = eval_fn(state)
         write_to_tb(cfg.model_name, logger, (train_loss, val_loss), val_res, epoch)
