@@ -120,7 +120,6 @@ class TrackNetPredictor:
         self._nonoverlap_step_resident = jax.jit(self._nonoverlap_step_resident_impl)
         self._nonoverlap_step_preresized = jax.jit(self._nonoverlap_step_preresized_impl)
         self._staged_steps: Dict[Tuple[bool, str], object] = {}
-        self._staged_flush = jax.jit(self._staged_flush_impl, donate_argnums=(0,))
 
     # ----------------------------- device steps -----------------------------
 
@@ -274,30 +273,57 @@ class TrackNetPredictor:
 
         return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P("data")))
 
-    def _staged_step(self, bgr: bool, mesh=None):
-        """Jitted carried-tail overlap chunk for a staged buffer (cached
-        per channel order and mesh)."""
-        key = (bgr, "overlap", mesh)
+    def _staged_scan_fn(self, bgr: bool, mesh=None):
+        """The whole overlap pipeline as ONE device program: lax.scan over
+        the carried-tail chunks, then flush + valid-row concat, returning
+        the packed (T, 3) [cx, cy, vis] rows.
+
+        A per-chunk dispatch path pays one relay round trip (~30 ms) per
+        chunk program PLUS the flush/collect dispatch; at 4 chunks per
+        480-frame video that is ~0.15 s of pure dispatch latency. Scanning
+        inside the program makes the whole video 1 dispatch + 1 fetch.
+        Chunk/window maths and ensemble semantics are identical to the
+        eval engine's incremental carried-tail chunks."""
+        key = (bgr, "scan", mesh)
         if key not in self._staged_steps:
             pre = make_staged_preprocessor(
                 self.bg_mode, self.seq_len, bgr, out_dtype=self.compute_dtype
             )
-            B = self.batch_size
+            L, B = self.seq_len, self.batch_size
 
-            def impl(buf, med, state, w0, n_valid):
+            def impl(buf, med, state):
                 from .models.fused_forward import tracknet_fused_forward
 
-                x = self._shard_windows(pre(buf, med, w0 + jnp.arange(B)), mesh)
-                probs = tracknet_fused_forward(
-                    self._folded, x, dtype=self.compute_dtype
-                )  # (B, h, w, L)
-                wp = jnp.moveaxis(probs, -1, 1).astype(jnp.float32)
-                state, frames = ensemble_update_fn(
-                    state, wp, self._weights, n_valid
+                T = buf.shape[0]
+                S = max(T - L + 1, 1)
+                n_chunks = -(-S // B)
+
+                def body(st, k):
+                    w0 = k * B
+                    nv = jnp.minimum(jnp.int32(S) - w0, B)
+                    x = self._shard_windows(
+                        pre(buf, med, w0 + jnp.arange(B)), mesh
+                    )
+                    probs = tracknet_fused_forward(
+                        self._folded, x, dtype=self.compute_dtype
+                    )  # (B, h, w, L)
+                    wp = jnp.moveaxis(probs, -1, 1).astype(jnp.float32)
+                    st, frames = ensemble_update_fn(st, wp, self._weights, nv)
+                    dec = decode_heatmaps(frames)
+                    return st, jnp.stack(
+                        [dec["cx"], dec["cy"], dec["vis"]], axis=-1
+                    )
+
+                state, packs = jax.lax.scan(
+                    body, state, jnp.arange(n_chunks, dtype=jnp.int32)
                 )
-                dec = decode_heatmaps(frames)
-                packed = jnp.stack([dec["cx"], dec["cy"], dec["vis"]], axis=-1)
-                return state, packed
+                rows = packs.reshape(n_chunks * B, 3)[:S]
+                tail_n = T - S
+                if tail_n > 0:
+                    d = decode_heatmaps(ensemble_flush(state))
+                    tail = jnp.stack([d["cx"], d["cy"], d["vis"]], axis=-1)
+                    rows = jnp.concatenate([rows, tail[:tail_n]], axis=0)
+                return rows
 
             self._staged_steps[key] = jax.jit(impl, donate_argnums=(2,))
         return self._staged_steps[key]
@@ -322,27 +348,6 @@ class TrackNetPredictor:
                 return jnp.stack([dec["cx"], dec["cy"], dec["vis"]], axis=-1)
 
             self._staged_steps[key] = jax.jit(impl)
-        return self._staged_steps[key]
-
-    def _staged_flush_impl(self, state):
-        """Decode the last L-1 ensemble-tail frames."""
-        frames = ensemble_flush(state)
-        dec = decode_heatmaps(frames)
-        return jnp.stack([dec["cx"], dec["cy"], dec["vis"]], axis=-1)
-
-    def _collect_fn(self, nvs, tail_n):
-        """Cached fused flush + valid-row concat (one dispatch, one fetch:
-        per-chunk fetches each pay the ~35 ms relay round trip)."""
-        key = ("collect", tuple(nvs), tail_n)
-        if key not in self._staged_steps:
-
-            def impl(state, packs):
-                parts = [p[:nv] for p, nv in zip(packs, nvs) if nv > 0]
-                if tail_n > 0:
-                    parts.append(self._staged_flush_impl(state)[:tail_n])
-                return jnp.concatenate(parts, axis=0)
-
-            self._staged_steps[key] = jax.jit(impl, donate_argnums=(0,))
         return self._staged_steps[key]
 
     def _median_staged(self, buf, max_sample_num: Optional[int]):
@@ -545,16 +550,15 @@ class TrackNetPredictor:
         Remote compiles on this runtime take seconds-to-minutes and are
         process-cached only, so callers that care about timing warm up
         explicitly; results are discarded."""
-        L, B = self.seq_len, self.batch_size
+        L = self.seq_len
         med = self._staged_median_arg(staged)
         if self.eval_mode == "nonoverlap":
             step = self._staged_step_nonoverlap(staged.bgr)
             jax.block_until_ready(step(staged.buf, med, jnp.int32(0)))
         else:
-            step = self._staged_step(staged.bgr)
+            scan = self._staged_scan_fn(staged.bgr)
             state = ensemble_init(L, (HEIGHT, WIDTH))
-            state, packed = step(staged.buf, med, state, jnp.int32(0), jnp.int32(B))
-            jax.block_until_ready(self._staged_flush(state))
+            jax.block_until_ready(scan(staged.buf, med, state))
 
     def _staged_median_arg(self, staged: StagedVideo):
         return (
@@ -572,12 +576,12 @@ class TrackNetPredictor:
         """Run all chunks over a staged buffer (both eval modes).
 
         Overlap mode forwards each of the S = T-L+1 windows exactly once,
-        carrying the ensemble tail between chunks (donated buffers); the
-        last L-1 frames come from the flush. Dispatches are queued without
-        intermediate fetches so chunk k+1's launch overlaps chunk k's
-        compute. With ``mesh`` the window batch of every chunk is sharded
-        across the data mesh (multi-chip inference); outputs are identical
-        to the single-device run."""
+        carrying the ensemble tail between chunks scanned INSIDE one
+        device program (the last L-1 frames come from the in-program
+        flush) - one dispatch and one fetch per video. With ``mesh`` the
+        window batch of every chunk is sharded across the data mesh
+        (multi-chip inference); outputs are identical to the
+        single-device run."""
         T = staged.T
         L, B = self.seq_len, self.batch_size
         if img_scaler is None:
@@ -599,19 +603,10 @@ class TrackNetPredictor:
                 packed = step(buf, med, jnp.int32(w0))
                 results.append((packed, min(B, n_win - w0) * L))
         else:
-            step = self._staged_step(staged.bgr, mesh)
-            S = max(T - L + 1, 1)
+            # Whole video in ONE dispatch + ONE fetch (see _staged_scan_fn).
+            scan = self._staged_scan_fn(staged.bgr, mesh)
             state = ensemble_init(L, (HEIGHT, WIDTH))
-            for w0 in range(0, S, B):
-                nv = min(B, S - w0)
-                state, packed = step(
-                    buf, med, state, jnp.int32(w0), jnp.int32(nv)
-                )
-                results.append((packed, nv))
-            # fused flush + valid-row concat: one dispatch, one small fetch
-            collect = self._collect_fn([nv for _, nv in results], T - S)
-            full = collect(state, tuple(p for p, _ in results))
-            arr = np.asarray(full)[:T]
+            arr = np.asarray(scan(buf, med, state))[:T]
             w_s, h_s = img_scaler
             return {
                 "Frame": list(range(T)),
