@@ -120,6 +120,13 @@ def main():
     # that path is still available and the MEDIAN taken: this host's single
     # core sees heavy steal (identical decode+resize work measures
     # 1.0s-4.6s run to run), and a single sample is not representative. ---
+    # Build/load the native decoder OUTSIDE the timed loop: on a fresh
+    # checkout the first open would otherwise pay the one-time g++ build
+    # of native/libtrackvideo.so inside staging pass 1.
+    from tracknetv3_tpu.native_video import probe_video
+
+    probe_video(video)
+
     upload_times = []
     for _ in range(max(args.passes, 1)):
         t0 = time.time()

@@ -51,10 +51,12 @@ void vdec_free(VDec *d) {
 extern "C" {
 
 // Open a video. out_w/out_h: packed output resolution. lowres: requested
-// DCT-domain decode reduction (clamped to the codec's max; 0 = full res).
-// Reports the CONTAINER-declared source dims (full resolution - callers
-// scale coordinates with these), frame count (-1 if unknown), fps, and the
-// lowres level actually applied. Returns nullptr on any failure.
+// DCT-domain decode reduction (clamped to the codec's max; 0 = full res;
+// -1 = AUTO: the largest level whose decoded dims still cover out_w/out_h,
+// so the swscale step always downscales). Reports the CONTAINER-declared
+// source dims (full resolution - callers scale coordinates with these),
+// frame count (-1 if unknown), fps, and the lowres level actually applied.
+// Returns nullptr on any failure.
 void *vdec_open(const char *path, int out_w, int out_h, int lowres,
                 int *src_w, int *src_h, long long *nframes, double *fps,
                 int *applied_lowres) {
@@ -84,6 +86,12 @@ void *vdec_open(const char *path, int out_w, int out_h, int lowres,
   }
   d->cc->thread_count = 1;  // single-core hosts: threads only add overhead
   int lr = lowres;
+  if (lr < 0) {  // auto: decoded dims must stay >= the output dims
+    lr = 0;
+    while (lr < 3 && (st->codecpar->width >> (lr + 1)) >= out_w &&
+           (st->codecpar->height >> (lr + 1)) >= out_h)
+      ++lr;
+  }
   if (lr > codec->max_lowres) lr = codec->max_lowres;
   if (lr < 0) lr = 0;
   d->cc->lowres = lr;
@@ -146,7 +154,9 @@ int vdec_read(void *h, unsigned char *out, int max_frames, int bgr) {
     }
     if (rr != AVERROR(EAGAIN)) return -1;
     // feed more packets
-    if (d->eof_sent) continue;  // EAGAIN after flush should not happen
+    if (d->eof_sent) return -1;  // EAGAIN after flush: nothing left to
+                                 // feed; spinning here would hang the
+                                 // producer thread forever
     int pr = av_read_frame(d->fmt, d->pkt);
     if (pr < 0) {
       avcodec_send_packet(d->cc, nullptr);  // start draining

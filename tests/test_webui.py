@@ -128,3 +128,49 @@ def test_correct_label_write_path(tmp_path):
         assert (out[out.Frame == 1].iloc[0].X) == 9  # untouched rows intact
     finally:
         srv.shutdown()
+
+
+def test_correct_label_preserves_extra_columns(tmp_path):
+    """Corrections must not destroy non-numeric annotation columns: the
+    pandas-free CSV path keeps unparseable cells verbatim."""
+    import pandas as pd
+
+    a1 = tmp_path / "a1.json"
+    a1.write_text(json.dumps(_analysis(1)))
+    data_dir = tmp_path / "data"
+    rally = data_dir / "test" / "match1" / "frame" / "1_00_00"
+    csvd = data_dir / "test" / "match1" / "csv"
+    os.makedirs(rally)
+    os.makedirs(csvd)
+    pd.DataFrame(
+        {
+            "Frame": range(4),
+            "Visibility": [1] * 4,
+            "X": [9] * 4,
+            "Y": [9] * 4,
+            "Note": ["serve", "rally", "", "smash"],
+        }
+    ).to_csv(csvd / "1_00_00_ball.csv", index=False)
+
+    handler = make_handler(str(a1), None, data_dir=str(data_dir), correct_mode=True)
+    srv = HTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        body = json.dumps(
+            {"rally": "1_1_00_00", "corrections": {"1": [50, 60]}}
+        ).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.server_port}/write", data=body, method="POST"
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+        out = pd.read_csv(
+            data_dir / "test" / "match1" / "corrected_csv" / "1_00_00_ball.csv"
+        )
+        # blank -> 0 mirrors read_label_csv's fillna(0); the mixed column
+        # re-reads it as the string "0"
+        assert list(out.Note.fillna(0)) == ["serve", "rally", "0", "smash"]
+        row = out[out.Frame == 1].iloc[0]
+        assert (row.X, row.Y) == (50, 60)
+    finally:
+        srv.shutdown()

@@ -387,26 +387,23 @@ class TrackNetPredictor:
         decodes at DCT-domain half resolution (mpeg4-family ``lowres``),
         ~1.7x faster than cv2's full-res YUV->BGR + resize. Falls back to
         cv2 when the native library or codec support is unavailable."""
-        from .native_video import open_native_video, probe_video
+        from .native_video import open_native_video
 
         q: "queue.Queue" = queue.Queue(maxsize=8)
         SENTINEL = object()
+        # Producer-thread failures must reach the caller: a swallowed
+        # decode error would silently truncate the staged video (and the
+        # prediction CSV with it).
+        producer_err: List[BaseException] = []
 
-        probe = probe_video(video_file) if self.native_decode else None
-        if probe is not None:
-            w, h = probe[0], probe[1]
-            # Largest DCT-domain reduction that still decodes at >= model
-            # resolution (so the swscale step always DOWNscales).
-            k = 0
-            while k < 3 and (w >> (k + 1)) >= WIDTH and (h >> (k + 1)) >= HEIGHT:
-                k += 1
-            reader = open_native_video(
-                video_file, WIDTH, HEIGHT, lowres=k, bgr=True
-            )
-        else:
-            reader = None
+        reader = (
+            open_native_video(video_file, WIDTH, HEIGHT, lowres=-1, bgr=True)
+            if self.native_decode
+            else None
+        )
 
         if reader is not None:
+            w, h = reader.src_w, reader.src_h
             self.decode_backend = f"native-lowres{reader.applied_lowres}"
 
             def producer():
@@ -418,6 +415,8 @@ class TrackNetPredictor:
                             break
                         q.put(buf[:n])
                     reader.close()
+                except BaseException as e:  # noqa: BLE001 - re-raised below
+                    producer_err.append(e)
                 finally:
                     q.put(SENTINEL)
 
@@ -454,6 +453,8 @@ class TrackNetPredictor:
                     if buf:
                         q.put(np.stack(buf))
                     cap.release()
+                except BaseException as e:  # noqa: BLE001 - re-raised below
+                    producer_err.append(e)
                 finally:
                     q.put(SENTINEL)
 
@@ -464,6 +465,10 @@ class TrackNetPredictor:
             if s is SENTINEL:
                 break
             slabs.append(jax.device_put(s))
+        if producer_err:
+            raise RuntimeError(
+                f"video decode failed mid-stream: {video_file}"
+            ) from producer_err[0]
         for s in slabs:
             jax.block_until_ready(s)
         return slabs, (w, h)
@@ -549,16 +554,19 @@ class TrackNetPredictor:
 
         Remote compiles on this runtime take seconds-to-minutes and are
         process-cached only, so callers that care about timing warm up
-        explicitly; results are discarded."""
+        explicitly. Compilation is AOT (jit.lower().compile(), which
+        shares the call-path executable cache) - warming must not
+        EXECUTE the scan program, whose runtime scales with the whole
+        video."""
         L = self.seq_len
         med = self._staged_median_arg(staged)
         if self.eval_mode == "nonoverlap":
             step = self._staged_step_nonoverlap(staged.bgr)
-            jax.block_until_ready(step(staged.buf, med, jnp.int32(0)))
+            step.lower(staged.buf, med, jnp.int32(0)).compile()
         else:
             scan = self._staged_scan_fn(staged.bgr)
             state = ensemble_init(L, (HEIGHT, WIDTH))
-            jax.block_until_ready(scan(staged.buf, med, state))
+            scan.lower(staged.buf, med, state).compile()
 
     def _staged_median_arg(self, staged: StagedVideo):
         return (
@@ -828,12 +836,8 @@ class TrackNetPredictor:
         if not need_diff and self.native_decode:
             from .native_video import open_native_video
 
-            w, h = reader.w, reader.h
-            k = 0
-            while k < 3 and (w >> (k + 1)) >= WIDTH and (h >> (k + 1)) >= HEIGHT:
-                k += 1
             native_reader = open_native_video(
-                reader.path, WIDTH, HEIGHT, lowres=k, bgr=False
+                reader.path, WIDTH, HEIGHT, lowres=-1, bgr=False
             )
         if native_reader is not None:
             self.decode_backend = f"native-lowres{native_reader.applied_lowres}"
@@ -869,6 +873,7 @@ class TrackNetPredictor:
 
         q: "queue.Queue" = queue.Queue(maxsize=4)
         SENTINEL = object()
+        producer_err: List[BaseException] = []
 
         nonoverlap = self.eval_mode == "nonoverlap"
 
@@ -962,6 +967,8 @@ class TrackNetPredictor:
                     native_reader.close()
                 else:
                     reader.release()
+            except BaseException as e:  # noqa: BLE001 - re-raised below
+                producer_err.append(e)
             finally:
                 q.put(SENTINEL)
 
@@ -983,6 +990,10 @@ class TrackNetPredictor:
                     rgb_d, diff_d, med_resized, jnp.int32(t0), S_dev
                 )
             results.append((packed, n_valid))
+        if producer_err:
+            raise RuntimeError(
+                f"video decode failed mid-stream: {reader.path}"
+            ) from producer_err[0]
         return self._collect_packed(results, T, img_scaler)
 
     def _run_pipeline(self, chunk_iter, total_frames, median, img_scaler):

@@ -83,8 +83,10 @@ class NativeVideoReader:
 
     ``lowres`` asks the codec for DCT-domain reduced-resolution decode
     (mpeg4-family; clamped to the codec's max - ``applied_lowres`` reports
-    what was granted). Source dims/fps always describe the full-resolution
-    container stream, so coordinate scalers are unaffected by lowres.
+    what was granted). ``lowres=-1`` selects AUTO: the largest level whose
+    decoded dims still cover (out_w, out_h), so scaling always goes down.
+    Source dims/fps always describe the full-resolution container stream,
+    so coordinate scalers are unaffected by lowres.
     """
 
     def __init__(

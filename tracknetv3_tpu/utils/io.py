@@ -97,8 +97,10 @@ def read_label_csv(csv_file: str) -> pd.DataFrame:
 
 
 def read_label_rows(csv_file: str) -> Dict[str, list]:
-    """Pandas-free label CSV reader: column dict of floats, rows sorted by
-    Frame, blank/NaN cells -> 0 (same semantics as read_label_csv).
+    """Pandas-free label CSV reader: column dict, rows sorted by Frame,
+    blank/NaN cells -> 0 and numeric cells parsed to float (same semantics
+    as read_label_csv + fillna(0)); non-numeric cells are preserved
+    VERBATIM so a write-back never destroys extra annotation columns.
 
     The web UI serves requests from a secondary HTTP-server thread where
     pandas' arrow-backed string index construction segfaults on some hosts;
@@ -106,25 +108,33 @@ def read_label_rows(csv_file: str) -> Dict[str, list]:
     import csv
 
     def val(s):
+        if s is None or s == "":
+            return 0.0  # blank cell: pandas fillna(0) equivalent
         try:
             f = float(s)
             return f if f == f else 0.0  # NaN -> 0
-        except (TypeError, ValueError):
-            return 0.0
+        except ValueError:
+            return s  # non-numeric cell: keep as-is
+
+    def sort_key(row):
+        v = val(row.get("Frame"))
+        return v if isinstance(v, float) else 0.0
 
     with open(csv_file, newline="", encoding="utf8") as f:
         reader = csv.DictReader(f)
         cols = list(reader.fieldnames or [])
-        rows = sorted(reader, key=lambda row: val(row.get("Frame")))
+        rows = sorted(reader, key=sort_key)
     return {c: [val(row.get(c)) for row in rows] for c in cols}
 
 
 def write_label_rows(rows: Dict[str, list], save_file: str) -> None:
     """Pandas-free CSV writer for read_label_rows dicts; integral floats are
-    written as ints to match the reference CSV style."""
+    written as ints to match the reference CSV style, strings verbatim."""
     import csv
 
     def fmt(v):
+        if isinstance(v, str):
+            return v
         return int(v) if float(v).is_integer() else v
 
     cols = list(rows)
