@@ -183,7 +183,11 @@ def main():
         json.dumps(
             {
                 "metric": "720p end-to-end FPS, real mp4 decode included "
-                "(TrackNet, weighted ensemble, 1 chip)",
+                + (
+                    "(TrackNet, weighted ensemble, 1 chip)"
+                    if args.eval_mode == "weight"
+                    else f"(TrackNet, {args.eval_mode}, 1 chip)"
+                ),
                 "value": round(fps, 2),
                 "unit": "fps",
                 "vs_baseline": round(fps / BASELINE_FPS, 2),
