@@ -176,4 +176,73 @@ int vdec_read(void *h, unsigned char *out, int max_frames, int bgr) {
 
 void vdec_close(void *h) { vdec_free(static_cast<VDec *>(h)); }
 
+// Encode a synthetic test clip (gray background + moving bright square)
+// with the named codec (e.g. "libx264", "mpeg4"). Test-fixture utility:
+// cv2's bundled ffmpeg cannot encode h264, so decoder tests use this to
+// produce h264 inputs. Returns 0 on success, -1 on failure.
+int venc_write_test_clip(const char *path, const char *codec_name, int n,
+                         int w, int h) {
+  AVFormatContext *fmt = nullptr;
+  if (avformat_alloc_output_context2(&fmt, nullptr, nullptr, path) < 0 || !fmt)
+    return -1;
+  const AVCodec *codec = avcodec_find_encoder_by_name(codec_name);
+  AVCodecContext *cc = codec ? avcodec_alloc_context3(codec) : nullptr;
+  AVStream *st = cc ? avformat_new_stream(fmt, codec) : nullptr;
+  AVFrame *frame = av_frame_alloc();
+  AVPacket *pkt = av_packet_alloc();
+  int ret = -1;
+  if (st && frame && pkt) {
+    cc->width = w;
+    cc->height = h;
+    cc->pix_fmt = AV_PIX_FMT_YUV420P;
+    cc->time_base = {1, 30};
+    cc->framerate = {30, 1};
+    cc->gop_size = 12;
+    cc->bit_rate = 2'000'000;
+    if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
+      cc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+    st->time_base = cc->time_base;
+    frame->format = cc->pix_fmt;
+    frame->width = w;
+    frame->height = h;
+    if (avcodec_open2(cc, codec, nullptr) == 0 &&
+        avcodec_parameters_from_context(st->codecpar, cc) >= 0 &&
+        av_frame_get_buffer(frame, 0) == 0 &&
+        avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) >= 0 &&
+        avformat_write_header(fmt, nullptr) >= 0) {
+      auto drain = [&](AVFrame *f) {
+        if (avcodec_send_frame(cc, f) < 0) return false;
+        while (true) {
+          int r = avcodec_receive_packet(cc, pkt);
+          if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) return true;
+          if (r < 0) return false;
+          av_packet_rescale_ts(pkt, cc->time_base, st->time_base);
+          pkt->stream_index = st->index;
+          if (av_interleaved_write_frame(fmt, pkt) < 0) return false;
+        }
+      };
+      bool ok = true;
+      for (int t = 0; ok && t < n; ++t) {
+        av_frame_make_writable(frame);
+        memset(frame->data[0], 80, frame->linesize[0] * h);
+        memset(frame->data[1], 128, frame->linesize[1] * (h / 2));
+        memset(frame->data[2], 128, frame->linesize[2] * (h / 2));
+        int x = 20 + (w - 60) * t / (n > 1 ? n - 1 : 1);
+        int y = h / 3 + (h / 4) * t / (n > 1 ? n - 1 : 1);
+        for (int r = y; r < y + 10 && r < h; ++r)
+          memset(frame->data[0] + r * frame->linesize[0] + x, 235, 10);
+        frame->pts = t;
+        ok = drain(frame);
+      }
+      if (ok && drain(nullptr) && av_write_trailer(fmt) == 0) ret = 0;
+    }
+  }
+  if (fmt && fmt->pb) avio_closep(&fmt->pb);
+  av_packet_free(&pkt);
+  av_frame_free(&frame);
+  if (cc) avcodec_free_context(&cc);
+  if (fmt) avformat_free_context(fmt);
+  return ret;
+}
+
 }  // extern "C"

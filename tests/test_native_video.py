@@ -154,6 +154,36 @@ def test_staging_decode_error_propagates(clip, tmp_path):
     assert sum(s.shape[0] for s in slabs) <= 24
 
 
+def test_h264_decode_parity(tmp_path):
+    """h264 sources (the real dataset's usual codec): lowres must
+    auto-disable (h264 has no DCT-domain lowres), B-frame reordering must
+    be handled, and output must match cv2's decode of the same file."""
+    from tracknetv3_tpu.native_video import write_test_clip
+
+    p = str(tmp_path / "clip_h264.mp4")
+    if not write_test_clip(p, "libx264", n=24, w=1280, h=720):
+        pytest.skip("libx264 encoder unavailable")
+    r = open_native_video(p, WIDTH, HEIGHT, lowres=-1)
+    assert r is not None
+    assert r.applied_lowres == 0
+    buf = np.empty((24, HEIGHT, WIDTH, 3), np.uint8)
+    n = r.read_into(buf)
+    r.close()
+    assert n == 24
+
+    cap = cv2.VideoCapture(p)
+    ref = []
+    while True:
+        ok, f = cap.read()
+        if not ok:
+            break
+        ref.append(cv2.resize(f, (WIDTH, HEIGHT), interpolation=cv2.INTER_LINEAR))
+    cap.release()
+    assert len(ref) == 24
+    d = np.abs(buf[:n].astype(int) - np.stack(ref).astype(int))
+    assert d.mean() < 3.0
+
+
 def test_staging_native_matches_cv2_path(clip):
     """upload_video_slabs pixels agree between the native and cv2 backends
     (and both report the full-resolution source dims)."""

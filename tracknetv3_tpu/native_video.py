@@ -74,6 +74,14 @@ def _load() -> Optional[ctypes.CDLL]:
         ]
         lib.vdec_close.restype = None
         lib.vdec_close.argtypes = [ctypes.c_void_p]
+        lib.venc_write_test_clip.restype = ctypes.c_int
+        lib.venc_write_test_clip.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_char_p,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
         _lib = lib
         return _lib
 
@@ -172,6 +180,22 @@ def open_native_video(
         return NativeVideoReader(video_file, out_w, out_h, lowres=lowres, bgr=bgr)
     except Exception:
         return None
+
+
+def write_test_clip(
+    video_file: str, codec: str = "libx264", n: int = 24, w: int = 1280, h: int = 720
+) -> bool:
+    """Encode a synthetic moving-square clip with the named libav codec.
+
+    Test-fixture utility (cv2's bundled ffmpeg cannot encode h264); True
+    on success."""
+    lib = _load()
+    if lib is None:
+        return False
+    return (
+        lib.venc_write_test_clip(video_file.encode(), codec.encode(), n, w, h)
+        == 0
+    )
 
 
 def probe_video(video_file: str) -> Optional[Tuple[int, int, int, float]]:
