@@ -67,6 +67,55 @@ def test_prestaged_equals_lazy(tiny_rally, monkeypatch):
         np.testing.assert_array_equal(np.asarray(lazy[k]), np.asarray(staged[k]))
 
 
+def test_prestage_skipped_when_inpaintnet_active(tiny_rally, monkeypatch):
+    """The InpaintNet eval path never touches frames (it reads
+    predicted_csv trajectories), so prestage must not upload/pin them."""
+    import tracknetv3_tpu.data.dataset as ds
+    import tracknetv3_tpu.evaluation.test_engine as te
+
+    data_dir, rally_dir = tiny_rally
+    monkeypatch.setattr(ds, "HEIGHT", 32)
+    monkeypatch.setattr(ds, "WIDTH", 64)
+    monkeypatch.setattr(te, "HEIGHT", 32)
+    monkeypatch.setattr(te, "WIDTH", 64)
+
+    tn = get_model("TrackNet", 3, "")
+    inp = get_model("InpaintNet", 16, "")
+    engine = RallyTestEngine(
+        tn, inpaintnet=inp, tracknet_seq_len=3, bg_mode="", eval_mode="weight",
+        batch_size=4,
+    )
+    cache = FrameCache(data_dir, "")
+    assert engine.prestage(data_dir, [rally_dir], cache) == 0
+    assert not engine._staged_rallies
+
+
+def test_collect_program_shared_across_rally_lengths(tiny_rally, monkeypatch):
+    """Rallies of different lengths (same 128-frame bucket) must reuse one
+    compiled collect program - per-length keys would compile a distinct
+    XLA program per rally on the seconds-to-minutes remote compiler."""
+    import tracknetv3_tpu.data.dataset as ds
+    import tracknetv3_tpu.evaluation.test_engine as te
+
+    data_dir, rally_dir = tiny_rally
+    monkeypatch.setattr(ds, "HEIGHT", 32)
+    monkeypatch.setattr(ds, "WIDTH", 64)
+    monkeypatch.setattr(te, "HEIGHT", 32)
+    monkeypatch.setattr(te, "WIDTH", 64)
+
+    model, variables = get_model("TrackNet", 3, "")
+    engine = RallyTestEngine(
+        (model, variables), tracknet_seq_len=3, bg_mode="", eval_mode="weight",
+        batch_size=4,
+    )
+    cache = FrameCache(data_dir, "")
+    engine.predict_rally_heatmap(cache, rally_dir, np.arange(9))
+    n_programs = len(engine._jit_cache)
+    # shorter rally, same Tp bucket, different chunk-valid counts (S=5 vs 7)
+    engine.predict_rally_heatmap(cache, rally_dir, np.arange(7))
+    assert len(engine._jit_cache) == n_programs
+
+
 def test_rally_overlap_matches_offline(tiny_rally, monkeypatch):
     """Carried-tail rally evaluation == forward-all-windows + offline
     ensemble + decode."""

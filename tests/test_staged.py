@@ -233,6 +233,56 @@ def test_run_staged_sharded_nonoverlap(tmp_path, small_res):
     assert pred_single == pred_sharded
 
 
+def test_finalize_staged_empty_raises(tmp_path, small_res):
+    """Zero decoded frames must fail with a clear error, not an
+    IndexError inside jit tracing."""
+    p = _make_predictor(tmp_path, bg_mode="concat")
+    with pytest.raises(ValueError, match="no frames decoded"):
+        p.finalize_staged([], bgr=True, src_wh=(W, H))
+
+
+def test_warmup_staged_mesh_compiles_sharded_program(tmp_path, small_res):
+    """warmup_staged(mesh=...) must warm the executable run_staged(mesh=...)
+    uses (the sharded program is distinct from the 1-device one)."""
+    from tracknetv3_tpu.parallel.mesh import make_mesh
+
+    p = _make_predictor(tmp_path, bg_mode="concat", batch_size=8)
+    rng = np.random.default_rng(15)
+    buf = rng.integers(0, 255, (17, H, W, 3), np.uint8)
+    staged = _staged_from_buf(p, buf)
+    mesh = make_mesh(8)
+    p.warmup_staged(staged, mesh=mesh)
+    pred_sharded = p.run_staged(staged, img_scaler=(1.0, 1.0), mesh=mesh)
+    pred_single = p.run_staged(staged, img_scaler=(1.0, 1.0))
+    assert pred_single == pred_sharded
+
+
+def test_streaming_steps_honor_compute_dtype(tmp_path, small_res):
+    """compute_dtype=float32 must reach the streaming preresized forwards
+    (they used to hardcode the default bf16, breaking f32 parity work)."""
+    model, variables = get_model("TrackNet", L, "")
+    path = str(tmp_path / "tn_f32.pt")
+    save_checkpoint(
+        path, epoch=0, max_val_acc=0.0, model=variables,
+        param_dict=dict(model_name="TrackNet", seq_len=L, bg_mode=""),
+    )
+    p = inf.TrackNetPredictor(
+        path, eval_mode="weight", batch_size=4, compute_dtype=jnp.float32
+    )
+    rgb = jnp.zeros((4 + L - 1, H, W, 3), jnp.uint8)
+    jaxpr = jax.make_jaxpr(
+        lambda r: p._overlap_step_preresized_impl(
+            r, None, None, jnp.int32(0), jnp.int32(4)
+        )
+    )(rgb)
+    assert "bf16" not in str(jaxpr)
+    rgb_n = jnp.zeros((2 * L, H, W, 3), jnp.uint8)
+    jaxpr_n = jax.make_jaxpr(
+        lambda r: p._nonoverlap_step_preresized_impl(r, None, None)
+    )(rgb_n)
+    assert "bf16" not in str(jaxpr_n)
+
+
 def test_run_staged_tiny_video(tmp_path, small_res):
     """T < L: one clipped window, flush emits the remaining frames."""
     p = _make_predictor(tmp_path, bg_mode="concat", batch_size=4)

@@ -405,7 +405,7 @@ class HeatmapBatchLoader:
                 median[b] = m
         return rgb, diff, median
 
-    def _iter_segmented(self) -> Iterator[Dict[str, np.ndarray]]:
+    def _iter_segmented(self, start_batch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
         """Segmented batches: unique frames per segment + window metadata."""
         seg = self.segment_windows
         L = self.index.data["id"].shape[1]
@@ -417,7 +417,7 @@ class HeatmapBatchLoader:
         need_diff = self.bg_mode in ("subtract", "subtract_concat")
         need_rgb = self.bg_mode in ("", "subtract_concat", "concat")
         span = seg + L - 1  # unique frames per segment
-        for bi in range(n_batches):
+        for bi in range(start_batch, n_batches):
             seg_starts = starts[bi * n_seg_batch : (bi + 1) * n_seg_batch]
             # window rows of this batch, ordered segment-major
             sel = (seg_starts[:, None] + np.arange(seg)[None, :]).reshape(-1)
@@ -472,8 +472,19 @@ class HeatmapBatchLoader:
             yield batch
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        yield from self.iter_from(0)
+
+    def iter_from(self, start_batch: int) -> Iterator[Dict[str, np.ndarray]]:
+        """Iterate batches starting at ``start_batch`` WITHOUT assembling
+        the skipped ones (DeviceCachedEvalLoader streams only the
+        overflow). Only meaningful for deterministic (non-shuffled)
+        loaders when start_batch > 0."""
+        assert start_batch == 0 or not self.shuffle, (
+            "iter_from(start>0) on a shuffled loader would not match any "
+            "single epoch's order"
+        )
         if self.segment_windows > 1:
-            yield from self._iter_segmented()
+            yield from self._iter_segmented(start_batch)
             return
         n = len(self.index)
         order = np.arange(n)
@@ -481,7 +492,7 @@ class HeatmapBatchLoader:
             self.rng.shuffle(order)
         B = self.batch_size
         stop = (n // B) * B if self.drop_last else n
-        for s in range(0, stop, B):
+        for s in range(start_batch * B, stop, B):
             sel = order[s : s + B]
             ids = self.index.data["id"][sel]
             # Pixel gather uses the on-disk frame numbers ({n}.png), which
@@ -669,6 +680,14 @@ class CoordinateBatchLoader:
         return -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        yield from self.iter_from(0)
+
+    def iter_from(self, start_batch: int) -> Iterator[Dict[str, np.ndarray]]:
+        """See HeatmapBatchLoader.iter_from."""
+        assert start_batch == 0 or not self.shuffle, (
+            "iter_from(start>0) on a shuffled loader would not match any "
+            "single epoch's order"
+        )
         n = len(self.index)
         order = np.arange(n)
         if self.shuffle:
@@ -676,7 +695,7 @@ class CoordinateBatchLoader:
         B = self.batch_size
         stop = (n // B) * B if self.drop_last else n
         norm = np.asarray([WIDTH, HEIGHT], np.float32)
-        for s in range(0, stop, B):
+        for s in range(start_batch * B, stop, B):
             sel = order[s : s + B]
             d = self.index.data
             yield {

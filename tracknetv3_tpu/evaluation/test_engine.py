@@ -137,17 +137,26 @@ class RallyTestEngine:
         )
         return state, self._pack_dec(decode_heatmaps(frames))
 
-    def _overlap_collect_fn(self, nvs, tail_n):
-        """Fused flush + valid-row concat (one dispatch + one fetch)."""
-        key = ("collect", tuple(nvs), tail_n)
+    def _overlap_collect_fn(self, n_chunks):
+        """Fused flush + concat (one dispatch + one fetch).
+
+        Keyed ONLY by the chunk count, padded to a power-of-two bucket by
+        the caller: keying on the per-rally valid-row counts would compile
+        a distinct XLA program per distinct rally length (seconds-to-
+        minutes each on this remote compiler), defeating the Tp=128 frame
+        bucketing. Valid-row selection moves to the host: all chunks
+        except the last are full, so the valid body rows are simply the
+        first S of the stacked packs, and the flush tail rows follow at
+        offset n_chunks*B."""
+        key = ("collect", n_chunks)
         if key not in self._jit_cache:
 
             def impl(state, packs):
-                parts = [p[:nv] for p, nv in zip(packs, nvs) if nv > 0]
-                if tail_n > 0:
-                    tail = decode_heatmaps(ensemble_flush(state))
-                    parts.append(self._pack_dec(tail)[:tail_n])
-                return jnp.concatenate(parts, axis=0)
+                body = jnp.concatenate(packs, axis=0)
+                if self.seq_len > 1:
+                    tail = self._pack_dec(decode_heatmaps(ensemble_flush(state)))
+                    return jnp.concatenate([body, tail], axis=0)
+                return body
 
             self._jit_cache[key] = jax.jit(impl, donate_argnums=(0,))
         return self._jit_cache[key]
@@ -197,7 +206,10 @@ class RallyTestEngine:
         the degraded ~36 MB/s post-execution H2D path). Stops at
         ``budget_bytes`` of device memory; remaining rallies upload
         lazily. Returns the number of rallies staged."""
-        if self.tracknet is None:
+        if self.tracknet is None or self.inpaintnet is not None:
+            # The InpaintNet eval path reads predicted_csv trajectories
+            # only (reference test.py:696-792) - staging frames for it
+            # would upload/pin GBs that no program ever touches.
             return 0
         used = 0.0
         n = 0
@@ -266,7 +278,7 @@ class RallyTestEngine:
             S = max(T - L + 1, 1)
             fshape = (rgb_dev if rgb_dev is not None else diff_dev).shape[1:3]
             state = ensemble_init(L, fshape)
-            packs, nvs = [], []
+            packs = []
             for w0 in range(0, S, B):
                 nv = min(B, S - w0)
                 state, packed = self._overlap_tail_step(
@@ -274,9 +286,17 @@ class RallyTestEngine:
                     jnp.int32(w0), jnp.int32(nv),
                 )
                 packs.append(packed)
-                nvs.append(nv)
-            collect = self._overlap_collect_fn(nvs, T - S)
-            arr = np.asarray(collect(state, tuple(packs)))[:T]
+            # pad the pack list to a power-of-two count so the collect
+            # program is shared across rally lengths (garbage rows are
+            # sliced away below; the repeats cost only a tiny concat)
+            n_pad = 1 << max(len(packs) - 1, 0).bit_length()
+            packs_padded = packs + [packs[-1]] * (n_pad - len(packs))
+            collect = self._overlap_collect_fn(n_pad)
+            full = np.asarray(collect(state, tuple(packs_padded)))
+            tail_n = T - S
+            arr = np.concatenate(
+                [full[:S], full[n_pad * B : n_pad * B + tail_n]], axis=0
+            )[:T]
             return {
                 "cx": arr[:, 0].astype(np.int64),
                 "cy": arr[:, 1].astype(np.int64),

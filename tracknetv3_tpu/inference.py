@@ -192,7 +192,7 @@ class TrackNetPredictor:
         x = window_channels(rgb_w, diff_w, med, self.bg_mode)
         from .models.fused_forward import tracknet_fused_forward
 
-        probs = tracknet_fused_forward(self._folded, x)
+        probs = tracknet_fused_forward(self._folded, x, dtype=self.compute_dtype)
         wins = jnp.moveaxis(probs, -1, 1)
         frames = ensemble_chunk(wins, self._weights, t0, num_windows)
         dec = decode_heatmaps(frames)
@@ -223,7 +223,7 @@ class TrackNetPredictor:
         x = window_channels(rgb_w, diff_w, med, self.bg_mode)
         from .models.fused_forward import tracknet_fused_forward
 
-        probs = tracknet_fused_forward(self._folded, x)
+        probs = tracknet_fused_forward(self._folded, x, dtype=self.compute_dtype)
         wins = jnp.moveaxis(probs, -1, 1)
         flat = wins.reshape((B * L,) + wins.shape[2:])
         dec = decode_heatmaps(flat)
@@ -546,10 +546,15 @@ class TrackNetPredictor:
     def finalize_staged(self, slabs, bgr, src_wh, max_sample_num=None):
         """Concat uploaded slabs into the resident buffer + device median."""
         T = int(sum(s.shape[0] for s in slabs))
+        if not slabs or T == 0:
+            raise ValueError(
+                "no frames decoded from video: the stream opened but yielded "
+                "zero frames (empty, truncated, or unsupported codec)"
+            )
         buf, median = self._finalize_fn(T, max_sample_num)(tuple(slabs))
         return StagedVideo(buf=buf, T=T, median=median, bgr=bgr, src_wh=src_wh)
 
-    def warmup_staged(self, staged: StagedVideo):
+    def warmup_staged(self, staged: StagedVideo, mesh=None):
         """Compile the staged chunk/flush programs (one dummy chunk each).
 
         Remote compiles on this runtime take seconds-to-minutes and are
@@ -557,16 +562,22 @@ class TrackNetPredictor:
         explicitly. Compilation is AOT (jit.lower().compile(), which
         shares the call-path executable cache) - warming must not
         EXECUTE the scan program, whose runtime scales with the whole
-        video."""
+        video. Pass the same ``mesh`` that ``run_staged`` will get: the
+        sharded program is a different executable than the 1-device one."""
         L = self.seq_len
         med = self._staged_median_arg(staged)
+        buf = staged.buf
+        if mesh is not None:
+            from .parallel.mesh import replicate_tree
+
+            buf, med = replicate_tree((buf, med), mesh)
         if self.eval_mode == "nonoverlap":
-            step = self._staged_step_nonoverlap(staged.bgr)
-            step.lower(staged.buf, med, jnp.int32(0)).compile()
+            step = self._staged_step_nonoverlap(staged.bgr, mesh)
+            step.lower(buf, med, jnp.int32(0)).compile()
         else:
-            scan = self._staged_scan_fn(staged.bgr)
+            scan = self._staged_scan_fn(staged.bgr, mesh)
             state = ensemble_init(L, (HEIGHT, WIDTH))
-            scan.lower(staged.buf, med, state).compile()
+            scan.lower(buf, med, state).compile()
 
     def _staged_median_arg(self, staged: StagedVideo):
         return (
@@ -615,21 +626,20 @@ class TrackNetPredictor:
             scan = self._staged_scan_fn(staged.bgr, mesh)
             state = ensemble_init(L, (HEIGHT, WIDTH))
             arr = np.asarray(scan(buf, med, state))[:T]
-            w_s, h_s = img_scaler
-            return {
-                "Frame": list(range(T)),
-                "X": [int(v) for v in (arr[:, 0] * w_s).astype(np.int64)],
-                "Y": [int(v) for v in (arr[:, 1] * h_s).astype(np.int64)],
-                "Visibility": [int(v) for v in arr[:, 2]],
-            }
+            return self._rows_to_pred(arr, img_scaler)
         # nonoverlap: one device-side concat of the valid rows + a SINGLE
         # small fetch (per-chunk np.asarray would pay one relay round trip
         # each, ~35 ms, even though the data is long since computed).
         full = jnp.concatenate([p[:nv] for p, nv in results if nv > 0], axis=0)
         arr = np.asarray(full)[:T]
+        return self._rows_to_pred(arr, img_scaler)
+
+    @staticmethod
+    def _rows_to_pred(arr: np.ndarray, img_scaler) -> Dict[str, list]:
+        """(T, 3+) [cx, cy, vis, ...] rows -> the prediction-dict contract."""
         w_s, h_s = img_scaler
         return {
-            "Frame": list(range(T)),
+            "Frame": list(range(arr.shape[0])),
             "X": [int(v) for v in (arr[:, 0] * w_s).astype(np.int64)],
             "Y": [int(v) for v in (arr[:, 1] * h_s).astype(np.int64)],
             "Visibility": [int(v) for v in arr[:, 2]],

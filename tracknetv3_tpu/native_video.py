@@ -37,17 +37,22 @@ def _load() -> Optional[ctypes.CDLL]:
             return _lib
         if _build_failed:
             return None
-        if not os.path.exists(_LIB_PATH):
-            try:
-                subprocess.run(
-                    ["make", "-s", "-C", _NATIVE_DIR, "video"],
-                    check=True,
-                    capture_output=True,
-                    timeout=120,
-                )
-            except Exception:
+        # Always run make: it no-ops when the .so is newer than the
+        # sources and rebuilds a stale one (the .so is gitignored, so a
+        # prebuilt library would otherwise mask source updates forever).
+        try:
+            subprocess.run(
+                ["make", "-s", "-C", _NATIVE_DIR, "video"],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except Exception:
+            if not os.path.exists(_LIB_PATH):
                 _build_failed = True
                 return None
+            # build tools unavailable but a previously built library
+            # exists - use it rather than losing the native path
         try:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:

@@ -68,9 +68,17 @@ class DeviceCachedEvalLoader:
         if self._primed:
             yield from self._cache
             if self._overflow:
-                for i, batch in enumerate(self.loader):
-                    if i >= len(self._cache):
+                # iter_from skips the cached batches without paying their
+                # host assembly; fall back to enumerate-and-skip for
+                # loaders that don't support it.
+                it = getattr(self.loader, "iter_from", None)
+                if it is not None:
+                    for batch in it(len(self._cache)):
                         yield jax.device_put(batch)
+                else:
+                    for i, batch in enumerate(self.loader):
+                        if i >= len(self._cache):
+                            yield jax.device_put(batch)
             return
         used = 0.0
         for batch in self.loader:
