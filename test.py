@@ -23,7 +23,12 @@ def main():
     parser.add_argument("--debug", action="store_true", default=False)
     parser.add_argument("--linear_interp", action="store_true", default=False)
     parser.add_argument("--data_dir", type=str, default="data")
+    parser.add_argument("--num_devices", type=int, default=None, help="shard window batches over a data-parallel mesh (default: single device)")
     args = parser.parse_args()
+
+    from tracknetv3_tpu.parallel.mesh import ensure_virtual_devices
+
+    ensure_virtual_devices(args.num_devices)  # sandbox shim, no-op elsewhere
 
     from tracknetv3_tpu.evaluation.test_engine import RallyTestEngine, get_test_res
     from tracknetv3_tpu.training.checkpoint import load_model_from_checkpoint
@@ -47,6 +52,12 @@ def main():
         in_seq_len = pd.get("seq_len", 16)
         param_dict["inpaintnet_seq_len"] = in_seq_len
 
+    mesh = None
+    if args.num_devices is not None and args.num_devices > 1:
+        from tracknetv3_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.num_devices)
+
     engine = RallyTestEngine(
         tracknet,
         inpaintnet,
@@ -56,6 +67,7 @@ def main():
         eval_mode=args.eval_mode,
         batch_size=args.batch_size,
         tolerance=args.tolerance,
+        mesh=mesh,
     )
 
     if args.video_file:

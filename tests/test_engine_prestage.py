@@ -116,6 +116,40 @@ def test_collect_program_shared_across_rally_lengths(tiny_rally, monkeypatch):
     assert len(engine._jit_cache) == n_programs
 
 
+def test_sharded_eval_matches_single_device(tiny_rally, monkeypatch):
+    """RallyTestEngine(mesh=...): window batches sharded over the 8-device
+    data mesh must produce the same rally predictions as single-device."""
+    import tracknetv3_tpu.data.dataset as ds
+    import tracknetv3_tpu.evaluation.test_engine as te
+    from tracknetv3_tpu.parallel.mesh import make_mesh
+
+    data_dir, rally_dir = tiny_rally
+    monkeypatch.setattr(ds, "HEIGHT", 32)
+    monkeypatch.setattr(ds, "WIDTH", 64)
+    monkeypatch.setattr(te, "HEIGHT", 32)
+    monkeypatch.setattr(te, "WIDTH", 64)
+
+    model, variables = get_model("TrackNet", 3, "")
+    cache = FrameCache(data_dir, "")
+    frame_ids = np.arange(9)
+    preds = {}
+    for mesh in (None, make_mesh(8)):
+        engine = RallyTestEngine(
+            (model, variables), tracknet_seq_len=3, bg_mode="",
+            eval_mode="weight", batch_size=8, mesh=mesh,
+        )
+        preds[mesh is None] = engine.predict_rally_heatmap(
+            cache, rally_dir, frame_ids
+        )
+    # integer outputs must agree exactly; conf inherits ~1e-5 float drift
+    # from GSPMD's sharded reduction order (bf16 partial sums reassociate)
+    for k in ("cx", "cy", "bbox"):
+        np.testing.assert_array_equal(
+            np.asarray(preds[True][k]), np.asarray(preds[False][k])
+        )
+    np.testing.assert_allclose(preds[True]["conf"], preds[False]["conf"], atol=1e-3)
+
+
 def test_rally_overlap_matches_offline(tiny_rally, monkeypatch):
     """Carried-tail rally evaluation == forward-all-windows + offline
     ensemble + decode."""

@@ -283,6 +283,35 @@ def test_streaming_steps_honor_compute_dtype(tmp_path, small_res):
     assert "bf16" not in str(jaxpr_n)
 
 
+def test_inpaint_trajectory_bucket_shares_compiles(tmp_path, small_res):
+    """Different trajectory lengths inside one window-count bucket must
+    reuse the compiled InpaintNet program (remote compiles are minutes)."""
+    model, variables = get_model("InpaintNet", 16)
+    in_path = str(tmp_path / "inp.pt")
+    save_checkpoint(
+        in_path, epoch=0, max_val_acc=0.0, model=variables,
+        param_dict=dict(model_name="InpaintNet", seq_len=16),
+    )
+    _make_predictor(tmp_path, bg_mode="")  # writes the TrackNet ckpt
+    p = inf.TrackNetPredictor(
+        str(tmp_path / "tn_none.pt"), inpaintnet_file=in_path,
+        eval_mode="weight", batch_size=4,
+    )
+    rng = np.random.default_rng(21)
+
+    def traj(T):
+        return {
+            "Frame": list(range(T)),
+            "X": rng.integers(1, 100, T).tolist(),
+            "Y": rng.integers(10, 60, T).tolist(),
+            "Visibility": [1] * T,
+        }
+
+    p.inpaint_trajectory(traj(40), (128, 72))
+    p.inpaint_trajectory(traj(45), (128, 72))  # same 64-window bucket
+    assert p._inpaint_overlap._cache_size() == 1
+
+
 def test_run_staged_tiny_video(tmp_path, small_res):
     """T < L: one clipped window, flush emits the remaining frames."""
     p = _make_predictor(tmp_path, bg_mode="concat", batch_size=4)

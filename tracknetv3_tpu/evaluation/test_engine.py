@@ -63,6 +63,7 @@ class RallyTestEngine:
         batch_size: int = 16,
         tolerance: float = 4.0,
         num_workers: int = 0,  # accepted for CLI parity; unused (no worker procs)
+        mesh=None,  # jax.sharding.Mesh: shard window batches across chips
     ):
         self.tracknet = tracknet
         self.inpaintnet = inpaintnet
@@ -72,6 +73,11 @@ class RallyTestEngine:
         self.eval_mode = eval_mode
         self.batch_size = batch_size
         self.tolerance = tolerance
+        self.mesh = mesh
+        if mesh is not None:
+            assert batch_size % mesh.size == 0, (
+                f"batch_size {batch_size} not divisible by mesh size {mesh.size}"
+            )
         if tracknet is not None:
             from ..models.fused_forward import fold_batchnorm
 
@@ -108,6 +114,16 @@ class RallyTestEngine:
         )
         med = median.astype(jnp.float32) if median is not None else None
         x = window_channels(rgb_w, diff_w, med, self.bg_mode)
+        if self.mesh is not None:
+            # shard the window batch across the data mesh; GSPMD
+            # partitions the U-Net per chip and inserts the collectives
+            # the cross-window ensemble slices need (same pattern as
+            # inference.TrackNetPredictor._shard_windows)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            x = jax.lax.with_sharding_constraint(
+                x, NamedSharding(self.mesh, P("data"))
+            )
         probs = tracknet_fused_forward(self._folded, x)
         return jnp.moveaxis(probs, -1, 1)  # (B, L, H, W)
 
@@ -185,13 +201,22 @@ class RallyTestEngine:
             reps = np.repeat(x[-1:], Tp - x.shape[0], axis=0)
             return np.concatenate([x, reps], axis=0)
 
-        rgb_dev = jnp.asarray(pad(rgb_all[frame_ids])) if need_rgb else None
+        put = jnp.asarray
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(self.mesh, P())
+
+            def put(x):
+                return jax.device_put(x, repl)
+
+        rgb_dev = put(pad(rgb_all[frame_ids])) if need_rgb else None
         diff_dev = (
-            jnp.asarray(pad(diff_all[frame_ids][..., None]))
+            put(pad(diff_all[frame_ids][..., None]))
             if diff_all is not None
             else None
         )
-        med_dev = jnp.asarray(med) if med is not None else None
+        med_dev = put(med) if med is not None else None
         return rgb_dev, diff_dev, med_dev
 
     def prestage(

@@ -25,6 +25,29 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def ensure_virtual_devices(num_devices: Optional[int]) -> None:
+    """Sandbox shim: make an ``num_devices``-wide mesh runnable on the
+    single-chip axon host by switching to a virtual CPU platform.
+
+    The sandbox's sitecustomize pins the axon platform programmatically
+    (env ``JAX_PLATFORMS`` is ignored), so multi-device CLI runs would
+    fail with "only 1 available". Call this BEFORE any backend
+    initialization (checkpoint loads, device_put); it is a no-op outside
+    the sandbox (no ``PALLAS_AXON_POOL_IPS``) or for num_devices <= 1,
+    so real multi-chip hosts are unaffected.
+    """
+    import os
+
+    if (num_devices or 0) <= 1 or not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={num_devices}"
+        ).strip()
+    jax.config.update("jax_platforms", "cpu")
+
+
 def make_mesh(num_devices: Optional[int] = None, devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()

@@ -48,6 +48,10 @@ def main():
         import jax
 
         jax.distributed.initialize()
+    else:
+        from tracknetv3_tpu.parallel.mesh import ensure_virtual_devices
+
+        ensure_virtual_devices(args.num_devices)  # sandbox shim, no-op elsewhere
 
     from tracknetv3_tpu.config import TrainConfig
     from tracknetv3_tpu.training.loop import train
