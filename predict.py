@@ -39,7 +39,14 @@ def main():
         "large sources); for A/B parity checks",
     )
     parser.add_argument("--profile", type=str, default="", help="capture a jax.profiler trace into this directory")
+    parser.add_argument("--num_devices", type=int, default=None,
+                        help="shard the staged path's window batches over a "
+                        "data-parallel mesh (default: single device)")
     args = parser.parse_args()
+
+    from tracknetv3_tpu.parallel.mesh import ensure_virtual_devices
+
+    ensure_virtual_devices(args.num_devices)  # sandbox shim, no-op elsewhere
 
     from tracknetv3_tpu.utils.profiling import trace
 
@@ -65,6 +72,7 @@ def _run_predict(args):
         traj_len=args.traj_len,
         device_resize=args.device_resize,
         native_decode=not args.cv2_decode,
+        num_devices=args.num_devices,
     )
 
 

@@ -1163,6 +1163,7 @@ def predict_video(
     video_name: Optional[str] = None,
     device_resize: bool = False,
     native_decode: bool = True,
+    num_devices: Optional[int] = None,
 ) -> Dict[str, list]:
     """Full predict CLI flow (reference: predict.py:71-312).
 
@@ -1171,8 +1172,16 @@ def predict_video(
     instead ships raw frames and resizes on device with the
     PIL-bicubic-matched kernel (reference-exact resize semantics, ~6x
     more H2D traffic); ``large_video`` streams with bounded memory.
+    ``num_devices`` > 1 shards the staged path's window batches over a
+    data-parallel mesh.
     """
     import os
+
+    mesh = None
+    if (num_devices or 0) > 1:
+        from .parallel.mesh import make_mesh
+
+        mesh = make_mesh(num_devices)
 
     predictor = TrackNetPredictor(
         tracknet_file,
@@ -1207,7 +1216,7 @@ def predict_video(
     else:
         reader.release()
         staged = predictor.stage_video(video_file)
-        pred = predictor.run_staged(staged, img_scaler=img_scaler)
+        pred = predictor.run_staged(staged, img_scaler=img_scaler, mesh=mesh)
 
     if predictor.inpaintnet is not None:
         pred = predictor.inpaint_trajectory(pred, (w, h))
