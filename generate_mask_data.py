@@ -22,10 +22,22 @@ def main():
     parser.add_argument("--data_dir", type=str, default="data")
     parser.add_argument("--debug", action="store_true", default=False)
     parser.add_argument("--verbose", action="store_true", default=False)
+    parser.add_argument("--num_devices", type=int, default=None,
+                        help="shard window batches over a data-parallel mesh")
     args = parser.parse_args()
+
+    from tracknetv3_tpu.parallel.mesh import ensure_virtual_devices
+
+    ensure_virtual_devices(args.num_devices)  # sandbox shim, no-op elsewhere
 
     from tracknetv3_tpu.evaluation.test_engine import RallyTestEngine
     from tracknetv3_tpu.training.checkpoint import load_model_from_checkpoint
+
+    mesh = None
+    if (args.num_devices or 0) > 1:
+        from tracknetv3_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.num_devices)
 
     model, variables, pd = load_model_from_checkpoint(args.tracknet_file)
     engine = RallyTestEngine(
@@ -36,6 +48,7 @@ def main():
         eval_mode=args.eval_mode,
         batch_size=args.batch_size,
         tolerance=args.tolerance,
+        mesh=mesh,
     )
     for split in args.split_list:
         print(f"Generating predicted csv for {split} split...")

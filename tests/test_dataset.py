@@ -109,6 +109,24 @@ def test_heatmap_loader_batches(tiny_data, bg_mode):
     assert np.all(flat_cx[flat_pos == 5] == 0)
 
 
+@pytest.mark.parametrize("segment_windows", [1, 2])
+def test_heatmap_loader_iter_from_matches_tail(tiny_data, segment_windows):
+    """iter_from(k) == the tail of a full iteration for both the plain and
+    segmented batch paths (DeviceCachedEvalLoader resumes at k without
+    re-assembling cached batches)."""
+    idx = build_split_index(tiny_data, "train", 4, 1, "heatmap", use_cache=False)
+    loader = HeatmapBatchLoader(
+        idx, "", batch_size=4, data_dir=tiny_data, segment_windows=segment_windows
+    )
+    full = list(loader)
+    tail = list(loader.iter_from(2))
+    assert len(full) >= 3 and len(tail) == len(full) - 2
+    for a, b in zip(full[2:], tail):
+        assert a.keys() == b.keys()
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+
+
 def test_coordinate_loader(tiny_data):
     idx = build_split_index(tiny_data, "train", 4, 2, "coordinate", use_cache=False)
     loader = CoordinateBatchLoader(idx, batch_size=4)

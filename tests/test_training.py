@@ -296,13 +296,62 @@ def test_device_cached_eval_loader():
     assert inner3.assembled == 5  # only the 2 overflow batches re-assembled
     np.testing.assert_array_equal(out3[2], np.full((2, 4), 2, np.float32))
 
+    # the cache must stay a CONTIGUOUS prefix: once one batch overflows,
+    # a later smaller batch that would fit must NOT be cached (the resume
+    # index len(cache) assumes prefix order - caching it would skip the
+    # overflowed batch and evaluate the small one twice every epoch)
+    class VariableLoader:
+        def __init__(self):
+            self.batches = [
+                {"x": np.zeros(10, np.float32)},   # 40 B - cached
+                {"x": np.zeros(100, np.float32)},  # 400 B - overflows
+                {"x": np.full(5, 2.0, np.float32)},  # 20 B - would fit
+            ]
 
-def test_heatmap_loader_iter_from_matches_tail(tmp_path):
-    """HeatmapBatchLoader.iter_from(k) == the tail of a full iteration
-    (deterministic loaders only)."""
-    # exercised indirectly through the synthetic dataset in other tests;
-    # here pin the contract on the coordinate loader, whose batches are
-    # cheap to build
+        def __len__(self):
+            return len(self.batches)
+
+        def __iter__(self):
+            yield from self.batches
+
+    loader4 = DeviceCachedEvalLoader(VariableLoader(), budget_bytes=50)
+    list(loader4)
+    assert len(loader4._cache) == 1  # only the contiguous prefix
+    out4 = [np.asarray(b["x"]) for b in loader4]
+    assert [len(o) for o in out4] == [10, 100, 5]  # all batches, once, in order
+
+
+def test_ensure_virtual_devices_flag_handling(monkeypatch):
+    """The sandbox shim must append the device-count flag, raise an
+    existing smaller count, and leave a larger one alone."""
+    import os
+
+    from tracknetv3_tpu.parallel.mesh import ensure_virtual_devices
+
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "1.2.3.4")
+    monkeypatch.setenv("XLA_FLAGS", "--foo=1")
+    ensure_virtual_devices(8)
+    assert "--xla_force_host_platform_device_count=8" in os.environ["XLA_FLAGS"]
+
+    monkeypatch.setenv("XLA_FLAGS", "--xla_force_host_platform_device_count=4")
+    ensure_virtual_devices(8)
+    assert os.environ["XLA_FLAGS"] == "--xla_force_host_platform_device_count=8"
+
+    monkeypatch.setenv("XLA_FLAGS", "--xla_force_host_platform_device_count=16")
+    ensure_virtual_devices(8)
+    assert os.environ["XLA_FLAGS"] == "--xla_force_host_platform_device_count=16"
+
+    # no-op outside the sandbox or for single-device runs
+    monkeypatch.delenv("PALLAS_AXON_POOL_IPS")
+    monkeypatch.setenv("XLA_FLAGS", "")
+    ensure_virtual_devices(8)
+    assert os.environ["XLA_FLAGS"] == ""
+
+
+def test_coordinate_loader_iter_from_matches_tail(tmp_path):
+    """CoordinateBatchLoader.iter_from(k) == the tail of a full iteration
+    (deterministic loaders only; the HeatmapBatchLoader counterpart incl.
+    the segmented path is pinned in test_dataset.py)."""
     from tracknetv3_tpu.data.dataset import CoordinateBatchLoader, SplitIndex
 
     n, Lc = 10, 4

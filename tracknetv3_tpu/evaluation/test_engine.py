@@ -119,11 +119,9 @@ class RallyTestEngine:
             # partitions the U-Net per chip and inserts the collectives
             # the cross-window ensemble slices need (same pattern as
             # inference.TrackNetPredictor._shard_windows)
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel.mesh import batch_sharding
 
-            x = jax.lax.with_sharding_constraint(
-                x, NamedSharding(self.mesh, P("data"))
-            )
+            x = jax.lax.with_sharding_constraint(x, batch_sharding(self.mesh))
         probs = tracknet_fused_forward(self._folded, x)
         return jnp.moveaxis(probs, -1, 1)  # (B, L, H, W)
 
@@ -203,9 +201,9 @@ class RallyTestEngine:
 
         put = jnp.asarray
         if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel.mesh import replicated
 
-            repl = NamedSharding(self.mesh, P())
+            repl = replicated(self.mesh)
 
             def put(x):
                 return jax.device_put(x, repl)

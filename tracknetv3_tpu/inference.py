@@ -269,9 +269,9 @@ class TrackNetPredictor:
         chunks are batch-parallel over the same 1-D mesh as training)."""
         if mesh is None:
             return x
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from .parallel.mesh import batch_sharding
 
-        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P("data")))
+        return jax.lax.with_sharding_constraint(x, batch_sharding(mesh))
 
     def _staged_scan_fn(self, bgr: bool, mesh=None):
         """The whole overlap pipeline as ONE device program: lax.scan over
@@ -1179,6 +1179,11 @@ def predict_video(
 
     mesh = None
     if (num_devices or 0) > 1:
+        if large_video or device_resize:
+            raise ValueError(
+                "num_devices > 1 is only supported on the default staged "
+                "path; drop --large_video/--device_resize or num_devices"
+            )
         from .parallel.mesh import make_mesh
 
         mesh = make_mesh(num_devices)
@@ -1209,6 +1214,14 @@ def predict_video(
         # Staging would exceed the device-memory budget (>~18k frames of
         # model-res uint8); fall back to bounded-memory streaming rather
         # than OOM mid-upload.
+        if mesh is not None:
+            import sys
+
+            print(
+                "warning: video exceeds the staging budget; falling back to "
+                "single-device streaming (num_devices ignored)",
+                file=sys.stderr,
+            )
         reader.release()
         pred = predictor.predict_video_streaming(
             video_file, max_sample_num=max_sample_num, video_range=video_range

@@ -47,12 +47,22 @@ def _load() -> Optional[ctypes.CDLL]:
                 capture_output=True,
                 timeout=120,
             )
-        except Exception:
+        except Exception as e:
             if not os.path.exists(_LIB_PATH):
                 _build_failed = True
                 return None
-            # build tools unavailable but a previously built library
-            # exists - use it rather than losing the native path
+            # A previously built library exists; fall back to it, but say
+            # so - silently loading a stale .so after a failed rebuild
+            # would mask compile errors in edited native sources.
+            import sys
+
+            err = getattr(e, "stderr", b"") or b""
+            print(
+                "warning: rebuilding native/libtrackvideo.so failed; using "
+                f"the existing (possibly stale) library. make said:\n"
+                f"{err.decode(errors='replace').strip()}",
+                file=sys.stderr,
+            )
         try:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:

@@ -40,11 +40,18 @@ def ensure_virtual_devices(num_devices: Optional[int]) -> None:
 
     if (num_devices or 0) <= 1 or not os.environ.get("PALLAS_AXON_POOL_IPS"):
         return
+    import re
+
     flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + f" --xla_force_host_platform_device_count={num_devices}"
-        ).strip()
+    m = re.search(r"--xla_force_host_platform_device_count=(\d+)", flags)
+    if m is None:
+        flags = (flags + f" --xla_force_host_platform_device_count={num_devices}").strip()
+    elif int(m.group(1)) < num_devices:
+        # an existing smaller count would make make_mesh fail anyway
+        flags = flags.replace(
+            m.group(0), f"--xla_force_host_platform_device_count={num_devices}"
+        )
+    os.environ["XLA_FLAGS"] = flags
     jax.config.update("jax_platforms", "cpu")
 
 

@@ -86,7 +86,11 @@ class DeviceCachedEvalLoader:
             size = sum(
                 leaf.nbytes for leaf in jax.tree_util.tree_leaves(batch)
             )
-            if used + size <= self.budget:
+            # The cache must be a CONTIGUOUS prefix: the overflow replay
+            # resumes at index len(cache), so caching a later (smaller)
+            # batch after the first overflow would skip one batch and
+            # evaluate another twice on every subsequent epoch.
+            if not self._overflow and used + size <= self.budget:
                 self._cache.append(dev)
                 used += size
             else:
