@@ -201,7 +201,7 @@ def test_resident_train_step_matches_standard(tiny_data):
     model, variables = get_model("TrackNet", 4, "concat")
     init_np = jax.tree_util.tree_map(np.asarray, variables)
     tx = build_optimizer("Adam", 1e-3)
-    step = make_tracknet_train_step(model, tx, "concat", alpha=-1)
+    step = make_tracknet_train_step(tx, "concat", alpha=-1)
     rng = jax.random.PRNGKey(0)
 
     s1 = create_train_state(jax.tree_util.tree_map(np.asarray, init_np), tx)

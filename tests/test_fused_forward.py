@@ -135,7 +135,7 @@ def test_fast_bn_close_to_standard():
     }
     tx = build_optimizer("Adam", 1e-3)
     state = create_train_state(variables, tx)
-    step = make_tracknet_train_step(model, tx, "", alpha=-1, fast_bn=True)
+    step = make_tracknet_train_step(tx, "", alpha=-1, fast_bn=True)
     losses = []
     key = jax.random.PRNGKey(0)
     for i in range(8):

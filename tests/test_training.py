@@ -39,7 +39,7 @@ def test_tracknet_train_step_reduces_loss():
     model, variables = get_model("TrackNet", 3, "concat")
     tx = build_optimizer("Adam", 1e-3)
     state = create_train_state(variables, tx)
-    step = make_tracknet_train_step(model, tx, "concat", alpha=-1)
+    step = make_tracknet_train_step(tx, "concat", alpha=-1)
     batch = _tiny_batch()
     rng = jax.random.PRNGKey(0)
     losses = []
@@ -54,7 +54,7 @@ def test_tracknet_train_step_with_mixup_runs():
     model, variables = get_model("TrackNet", 3, "")
     tx = build_optimizer("SGD", 1e-2)
     state = create_train_state(variables, tx)
-    step = make_tracknet_train_step(model, tx, "", alpha=0.5)
+    step = make_tracknet_train_step(tx, "", alpha=0.5)
     batch = {k: v for k, v in _tiny_batch().items() if k != "median"}
     state, loss = step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(loss))
@@ -108,7 +108,7 @@ def test_data_parallel_train_step_8_devices():
     tx = build_optimizer("Adam", 1e-3)
     state = create_train_state(variables, tx)
     state = TrainState(*replicate_tree(tuple(state), mesh))
-    step = make_tracknet_train_step(model, tx, "concat", alpha=0.5)
+    step = make_tracknet_train_step(tx, "concat", alpha=0.5)
     batch = shard_batch(_tiny_batch(batch=16), mesh)
     state, loss = step(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(loss))
@@ -130,13 +130,13 @@ def test_dp_matches_single_device():
     variables = jax.tree_util.tree_map(np.asarray, variables)
 
     s1 = create_train_state(variables, tx)
-    step1 = make_tracknet_train_step(model, tx, "", alpha=-1)
+    step1 = make_tracknet_train_step(tx, "", alpha=-1)
     s1, loss1 = step1(s1, batch, rng)
 
     mesh = make_mesh(8)
     s2 = create_train_state(variables, tx)
     s2 = TrainState(*replicate_tree(tuple(s2), mesh))
-    step2 = make_tracknet_train_step(model, tx, "", alpha=-1)
+    step2 = make_tracknet_train_step(tx, "", alpha=-1)
     s2, loss2 = step2(s2, shard_batch(batch, mesh), rng)
 
     # bf16 conv outputs + different reduction orders across shards leave
@@ -159,7 +159,7 @@ def test_eval_step_shapes():
     model, variables = get_model("TrackNet", 3, "")
     tx = build_optimizer("Adam", 1e-3)
     state = create_train_state(variables, tx)
-    eval_step = make_tracknet_eval_step(model, "")
+    eval_step = make_tracknet_eval_step("")
     batch = {k: v for k, v in _tiny_batch().items() if k != "median"}
     loss, probs = eval_step(state, batch)
     assert probs.shape == (4, 16, 32, 3)

@@ -102,8 +102,11 @@ def ensemble_update_fn(
     B, L = window_preds.shape[0], window_preds.shape[1]
     fdims = window_preds.ndim - 1  # L axis + frame dims
     wp = window_preds.astype(jnp.float32)
-    valid = (jnp.arange(B) < n_valid).astype(jnp.float32)
-    wp = wp * valid.reshape((B,) + (1,) * fdims)
+    # where, not multiply: padded rows may hold arbitrary (even
+    # non-finite) values per the contract, and 0 * inf = nan would
+    # poison the warm-up/tail frames.
+    valid = jnp.arange(B) < n_valid
+    wp = jnp.where(valid.reshape((B,) + (1,) * fdims), wp, 0.0)
 
     buf = jnp.concatenate([state.tail, wp], axis=0)  # (L-1+B, L, *fs)
 
@@ -205,8 +208,10 @@ def ensemble_chunk(
     B = nwin - (L - 1)
     wp = window_preds.astype(jnp.float32)
     w_global = t0 - (L - 1) + jnp.arange(nwin)
-    valid = ((w_global >= 0) & (w_global < num_windows)).astype(jnp.float32)
-    wp = wp * valid.reshape((nwin,) + (1,) * (wp.ndim - 1))
+    # where, not multiply: out-of-range rows are documented as arbitrary
+    # (0 * inf = nan would leak into the warm-up/tail frames)
+    valid = (w_global >= 0) & (w_global < num_windows)
+    wp = jnp.where(valid.reshape((nwin,) + (1,) * (wp.ndim - 1)), wp, 0.0)
 
     w_rev = weights[::-1].astype(jnp.float32)
     out_w = None

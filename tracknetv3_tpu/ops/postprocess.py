@@ -5,9 +5,10 @@ device program):
 
 - ``generate_inpaint_mask``: scan the predicted visibility sequence for
   1 -> 0...0 -> 1 gaps and mark a gap for inpainting only when the flanking
-  y-coordinates are below the camera-exit threshold ``th_h`` (ball high in
-  the frame <=> small y; a ball that left the bottom of the view should not
-  be inpainted). Reference contract: test.py:223-258.
+  y-coordinates EXCEED the camera-exit threshold ``th_h`` (image y grows
+  downward, so small flanking y = ball near the top edge = it likely flew
+  out of the camera view, a real absence that must NOT be inpainted).
+  Reference contract: test.py:223-258.
 
 - ``linear_interp``: replace masked gap values with linear interpolation
   between the flanking visible points (edge gaps held constant) - the

@@ -82,8 +82,11 @@ def resize_frames(
     Rw = jnp.asarray(_pil_bicubic_matrix(w0, width))  # (width, W0)
     x = frames.astype(jnp.float32)
     x = jnp.moveaxis(x, -1, -3)  # (..., C, H0, W0)
-    x = jnp.einsum("hH,...HW->...hW", Rh, x)
-    x = jnp.einsum("wW,...hW->...hw", Rw, x)
+    # precision='highest': default matmul precision lowers these f32
+    # contractions to bf16 multiplies on TPU (~1 gray level of error on
+    # 0..255 pixels), breaking the PIL parity this op exists to provide.
+    x = jnp.einsum("hH,...HW->...hW", Rh, x, precision="highest")
+    x = jnp.einsum("wW,...hW->...hw", Rw, x, precision="highest")
     x = jnp.moveaxis(x, -3, -1)  # (..., height, width, C)
     return jnp.clip(x, 0.0, 255.0)
 
@@ -249,8 +252,7 @@ def make_staged_preprocessor(
         rgb = wins.astype(jnp.float32)
         diffs = None
         if needs_diff:
-            d = jnp.sum(jnp.abs(rgb - median_resized.astype(jnp.float32)), axis=-1)
-            diffs = jnp.mod(jnp.floor(d), 256.0)[..., None]
+            diffs = background_diff(wins, median_resized)
         med = median_resized if bg_mode == "concat" else None
         out = window_channels(rgb if needs_rgb else None, diffs, med, bg_mode)
         # Emitting the model's compute dtype here (bf16 on TPU) halves the
@@ -284,7 +286,7 @@ def make_window_preprocessor(bg_mode: str, seq_len: int):
             d = background_diff(frames_u8, median_orig)
             diffs = resize_frames(d)
         if bg_mode == "concat":
-            med_resized = resize_frames(median_orig) / 1.0
+            med_resized = resize_frames(median_orig)
         rgb_w = gather_windows(rgb, starts, seq_len) if rgb is not None else None
         diff_w = gather_windows(diffs, starts, seq_len) if diffs is not None else None
         return window_channels(rgb_w, diff_w, med_resized, bg_mode)

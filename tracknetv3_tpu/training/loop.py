@@ -231,9 +231,9 @@ def train(config: TrainConfig, data_dir: str = "data", verbose_print=print) -> D
 
     if cfg.model_name == "TrackNet":
         train_step = make_tracknet_train_step(
-            model, tx, cfg.bg_mode, cfg.alpha, fast_bn=cfg.fast_bn
+            tx, cfg.bg_mode, cfg.alpha, fast_bn=cfg.fast_bn
         )
-        eval_step = make_tracknet_eval_step(model, cfg.bg_mode)
+        eval_step = make_tracknet_eval_step(cfg.bg_mode)
         eval_fn = lambda s: eval_tracknet(s, eval_step, val_loader, cfg.tolerance)  # noqa: E731
     else:
         train_step = make_inpaintnet_train_step(model, tx, cfg.mask_ratio)

@@ -162,10 +162,14 @@ def sample_mixup(rng, x, y, alpha: float):
 
 
 def make_tracknet_train_step(
-    model, tx, bg_mode: str, alpha: float, pallas_loss: Optional[bool] = None,
+    tx, bg_mode: str, alpha: float, pallas_loss: Optional[bool] = None,
     fast_bn: bool = False,
 ):
     """Jitted TrackNet train step.
+
+    The forward is the explicit-lax ``tracknet_train_forward`` (the flax
+    module is only the parameter-shape/init definition - unlike the
+    InpaintNet step, no module object is needed here).
 
     With ``pallas_loss`` (default: on TPU backends) the WBCE is computed
     by the fused virtual-label Pallas kernel (ops/pallas_wbce.py) - the
@@ -228,7 +232,7 @@ def make_tracknet_train_step(
     return step
 
 
-def make_tracknet_eval_step(model, bg_mode: str):
+def make_tracknet_eval_step(bg_mode: str):
     """Eval forward: returns (loss, probs) without touching batch stats."""
     from ..models.fused_forward import tracknet_train_forward
 
