@@ -113,6 +113,13 @@ def main():
             frames.append(frame)
             cv2.imwrite(os.path.join(rally_dir, f"{len(frames) - 1}.{IMG_FORMAT}"), frame)
         cap.release()
+        if not frames:
+            raise ValueError(f"no frames decodable from {video_file}")
+        # Median over the label-count-capped extracted frames, matching
+        # the reference's extraction-time median (general.py:411-466).
+        # NOTE: --regenerate_medians / io.get_rally_median instead median
+        # over ALL video frames (reference general.py:497-525) - the
+        # reference carries the same inconsistency between its two paths.
         median = np.median(np.stack(frames).astype(np.float32), axis=0)[..., ::-1]
         np.savez(os.path.join(rally_dir, "median.npz"), median=median)
 
@@ -138,7 +145,11 @@ def main():
             match_name = os.path.basename(match_dir)
             rallies = sorted(os.listdir(os.path.join(match_dir, "frame")))
             rallies = [r for r in rallies if os.path.isdir(os.path.join(match_dir, "frame", r))]
-            if not rallies:
+            if len(rallies) < 2:
+                # moving a match's only rally would leave an empty train
+                # match (no frames to median over); keep it in train
+                if rallies:
+                    print(f"  {match_name}: single rally, not carved to val")
                 continue
             last = rallies[-1]
             dst_match = os.path.join(val_dir, match_name)

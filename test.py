@@ -135,6 +135,7 @@ def main():
             convert_gt_to_coco_json,
             evaluate_ap,
             get_coco_res,
+            gt_coco_json_path,
         )
 
         coco_file = os.path.join(
@@ -142,7 +143,7 @@ def main():
         )
         drop = args.split == "test"
         dect_list = get_coco_res(pred_dict, args.data_dir, drop=drop)
-        gt_json = os.path.join(args.data_dir, "coco_format_gt.json")
+        gt_json = gt_coco_json_path(args.data_dir, args.split, drop=drop)
         if not os.path.exists(gt_json):
             gt_json = convert_gt_to_coco_json(args.data_dir, args.split, drop=drop)
         mAP = {iou: evaluate_ap(gt_json, dect_list, iou) for iou in (0.25, 0.5)}

@@ -15,15 +15,21 @@ import os
 from typing import Dict, List
 
 import numpy as np
-import pandas as pd
 from PIL import Image
 
 from ..config import IMG_FORMAT
-from ..utils.io import get_rally_dirs, label_csv_path, parse_rally_dir
+from ..utils.io import get_rally_dirs, label_csv_path, parse_rally_dir, read_label_csv
+
+
+def gt_coco_json_path(data_dir: str, split: str, drop: bool = False) -> str:
+    """Split/drop-dependent GT cache path: a single shared filename would
+    let a val-split GT file be silently scored against test detections."""
+    suffix = "_drop" if (split == "test" and drop) else ""
+    return os.path.join(data_dir, f"coco_format_gt_{split}{suffix}.json")
 
 
 def convert_gt_to_coco_json(data_dir: str, split: str, drop: bool = False) -> str:
-    """Write {data_dir}/coco_format_gt.json (reference: general.py:356-408)."""
+    """Write the split's GT COCO JSON (reference: general.py:356-408)."""
     drop_dict = None
     if split == "test" and drop:
         with open(os.path.join(data_dir, "drop_frame.json")) as f:
@@ -35,7 +41,10 @@ def convert_gt_to_coco_json(data_dir: str, split: str, drop: bool = False) -> st
         rally_dir = os.path.join(data_dir, rd)
         match_dir, rally_id = parse_rally_dir(rally_dir)
         match_id = match_dir.split("match")[-1]
-        df = pd.read_csv(label_csv_path(match_dir, rally_id), encoding="utf8")
+        # read_label_csv, not raw read_csv: GT image_ids must follow the
+        # same Frame-sorted order as the prediction side, and fillna(0)
+        # keeps a visible row with a blank coordinate from crashing int()
+        df = read_label_csv(label_csv_path(match_dir, rally_id))
         f = df["Frame"].to_numpy()
         x = df["X"].to_numpy()
         y = df["Y"].to_numpy()
@@ -81,7 +90,7 @@ def convert_gt_to_coco_json(data_dir: str, split: str, drop: bool = False) -> st
         "images": image_info,
         "annotations": annotations,
     }
-    out = os.path.join(data_dir, "coco_format_gt.json")
+    out = gt_coco_json_path(data_dir, split, drop)
     with open(out, "w") as fh:
         json.dump(coco, fh)
     return out

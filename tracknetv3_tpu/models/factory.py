@@ -49,6 +49,10 @@ def get_model(
         dummy = jnp.zeros((1, 32, 64, in_ch), jnp.float32)
         init_fn = lambda: model.init(rng, dummy, train=False)  # noqa: E731
     elif model_name == "InpaintNet":
+        # Deliberately f32 regardless of compute_dtype: bf16's ~2^-8
+        # relative step would quantize normalized coordinates by ~2 px at
+        # 512-px width (vs the 4-px eval tolerance), and the model is far
+        # too small for the MXU rate to matter.
         model = InpaintNet()
         L = seq_len or 16
         coords = jnp.zeros((1, L, 2), jnp.float32)

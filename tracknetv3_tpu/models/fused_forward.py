@@ -85,10 +85,9 @@ def _pool(x):
     )
 
 
-def _up2x(x):
-    n, h, w, c = x.shape
-    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
-    return x.reshape(n, h * 2, w * 2, c)
+# single source of truth for the nearest-2x upsample: the flax reference
+# model and these fused forwards must stay bit-identical
+from .tracknet import _upsample2x_nearest as _up2x
 
 
 def _subpixel_kernels(k):

@@ -85,17 +85,32 @@ def _get_writer():
     return _writer
 
 
+import itertools
+
+_pending_writes: List[Any] = []
+_tmp_counter = itertools.count(1)  # next() is atomic under the GIL
+
+
 def flush_checkpoint_writes():
-    """Block until all async checkpoint writes have hit disk."""
+    """Block until all async checkpoint writes have hit disk.
+
+    Re-raises the first exception any queued write hit - a full disk at
+    epoch N must not let training 'succeed' with stale/missing
+    checkpoints."""
     global _writer
     if _writer is not None:
         _writer.shutdown(wait=True)
         _writer = None
+    pending, _pending_writes[:] = list(_pending_writes), []
+    for fut in pending:
+        fut.result()  # raises if the write failed
 
 
 def _write_npz(path: str, arrays: Dict[str, np.ndarray]):
-    tmp = f"{path}.tmp{os.getpid()}"  # unique per process: concurrent
-    with open(tmp, "wb") as f:  # writers must not race on the rename
+    # unique per process AND per write: a queued async write and a later
+    # sync write to the same path must not interleave on one tmp file
+    tmp = f"{path}.tmp{os.getpid()}.{next(_tmp_counter)}"
+    with open(tmp, "wb") as f:
         np.savez(f, **arrays)
     os.replace(tmp, path)
 
@@ -138,7 +153,7 @@ def save_checkpoint(
         json.dumps(meta).encode("utf-8"), dtype=np.uint8
     )
     if async_write:
-        _get_writer().submit(_write_npz, path, arrays)
+        _pending_writes.append(_get_writer().submit(_write_npz, path, arrays))
     else:
         _write_npz(path, arrays)
 

@@ -84,9 +84,13 @@ def get_rally_dirs(data_dir: str, split: str) -> List[str]:
 
 def label_csv_path(match_dir: str, rally_id: str) -> str:
     """Label CSV path; test matches use the corrected labels
-    (reference: dataset.py:222-226)."""
-    sep = os.sep
-    if f"{sep}test{sep}" in match_dir + sep or match_dir.startswith(f"test{sep}"):
+    (reference: dataset.py:222-226).
+
+    The split is the parent component of ``.../{split}/match{N}`` - a
+    substring check would misroute when the data_dir itself contains a
+    'test' path component (e.g. /srv/test/data/train/match1)."""
+    split = os.path.basename(os.path.dirname(os.path.normpath(match_dir)))
+    if split == "test":
         return os.path.join(match_dir, "corrected_csv", f"{rally_id}_ball.csv")
     return os.path.join(match_dir, "csv", f"{rally_id}_ball.csv")
 
@@ -228,8 +232,16 @@ class VideoReader:
             self.seek(i)
             f = self.read()
             if f is None:
-                break
+                # one bad frame mid-video should not silently bias the
+                # median toward the clip's start; skip it and keep sampling
+                continue
             frames.append(f)
+        if not frames:
+            raise ValueError(
+                f"no frames decodable for the median background "
+                f"(video_len={self.video_len}, range={video_range}) - "
+                f"corrupt video or a range outside the clip?"
+            )
         return np.median(np.stack(frames).astype(np.float32), axis=0)
 
     def release(self):
@@ -326,6 +338,11 @@ def get_match_median(match_dir: str) -> np.ndarray:
         if not os.path.exists(med_file):
             get_rally_median(os.path.join(match_dir, "video", f"{rally_id}.mp4"))
         medians.append(np.load(med_file)["median"])
+    if not medians:
+        raise ValueError(
+            f"{match_dir} has no rally frame dirs - cannot compute a match "
+            "median (was its only rally moved to the val split?)"
+        )
     median = np.median(np.stack(medians), axis=0)
     np.savez(os.path.join(match_dir, "median.npz"), median=median)
     return median
