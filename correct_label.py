@@ -16,11 +16,15 @@ def main():
                     help="eval analysis JSON from test.py --output_pred")
     ap.add_argument("--data_dir", type=str, default="data")
     ap.add_argument("--port", type=int, default=8051)
+    ap.add_argument("--host", type=str, default="127.0.0.1",
+                    help="bind address (0.0.0.0 exposes the label-write "
+                    "endpoint to the network)")
     args = ap.parse_args()
 
     from tracknetv3_tpu.tools.webui import serve
 
-    serve(args.analysis_file, data_dir=args.data_dir, port=args.port, correct_mode=True)
+    serve(args.analysis_file, data_dir=args.data_dir, port=args.port,
+          correct_mode=True, host=args.host)
 
 
 if __name__ == "__main__":

@@ -21,6 +21,8 @@ def main():
                     "(e.g. TrackNet-only vs +InpaintNet)")
     ap.add_argument("--data_dir", type=str, default="data")
     ap.add_argument("--port", type=int, default=8050)
+    ap.add_argument("--host", type=str, default="127.0.0.1",
+                    help="bind address (0.0.0.0 exposes the UI to the network)")
     args = ap.parse_args()
 
     from tracknetv3_tpu.tools.webui import serve
@@ -30,6 +32,7 @@ def main():
         data_dir=args.data_dir,
         port=args.port,
         analysis_file_2=args.analysis_file_2 or None,
+        host=args.host,
     )
 
 

@@ -159,6 +159,10 @@ int vdec_read(void *h, unsigned char *out, int max_frames, int bgr) {
                                  // producer thread forever
     int pr = av_read_frame(d->fmt, d->pkt);
     if (pr < 0) {
+      // Only clean end-of-file may transition to draining: a mid-stream
+      // demux error (corrupt/truncated container) must surface as -1,
+      // not masquerade as a short-but-successful video.
+      if (pr != AVERROR_EOF) return -1;
       avcodec_send_packet(d->cc, nullptr);  // start draining
       d->eof_sent = true;
       continue;
@@ -229,8 +233,14 @@ int venc_write_test_clip(const char *path, const char *codec_name, int n,
         memset(frame->data[2], 128, frame->linesize[2] * (h / 2));
         int x = 20 + (w - 60) * t / (n > 1 ? n - 1 : 1);
         int y = h / 3 + (h / 4) * t / (n > 1 ? n - 1 : 1);
-        for (int r = y; r < y + 10 && r < h; ++r)
-          memset(frame->data[0] + r * frame->linesize[0] + x, 235, 10);
+        // clamp the square to the frame: small w would otherwise drive x
+        // negative and memset before the row start (this is an exported
+        // C-ABI entry point callable with arbitrary dims)
+        if (x < 0) x = 0;
+        int sq_w = (x + 10 <= w) ? 10 : (w - x);
+        if (sq_w > 0)
+          for (int r = y; r < y + 10 && r < h; ++r)
+            memset(frame->data[0] + r * frame->linesize[0] + x, 235, sq_w);
         frame->pts = t;
         ok = drain(frame);
       }

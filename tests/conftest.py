@@ -6,15 +6,20 @@ the ICI all-reduce paths compile and execute without TPU hardware.
 """
 
 import os
+import re
 
 # Force-override: the sandbox environment pins JAX_PLATFORMS=axon (TPU)
 # via sitecustomize; tests must run on the virtual CPU mesh regardless.
+# The device count is force-overridden too - a pre-existing count != 8
+# in XLA_FLAGS would break every mesh test.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+m = re.search(r"--xla_force_host_platform_device_count=\d+", flags)
+if m is None:
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+else:
+    flags = flags.replace(m.group(0), "--xla_force_host_platform_device_count=8")
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

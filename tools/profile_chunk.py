@@ -57,7 +57,9 @@ def main():
     frames = make_frames(args.frames)
     t0 = time.time()
     raw = p.upload_frames(frames)
-    jax.block_until_ready(raw)
+    # block_until_ready lies on this relay (see module docstring); a tiny
+    # fetch is the only honest completion barrier for the transfer
+    np.asarray(raw[0, 0, 0, 0])
     print(f"upload {frames.nbytes/1e6:.0f} MB: {time.time()-t0:.2f}s")
 
     all_dev, meta = p.build_resident(raw, frames.shape[0])

@@ -174,7 +174,8 @@ async function showFrame(i) {{
       g.strokeStyle='#f0f'; g.lineWidth=3; g.stroke();
     }}
     let txt = `frame ${{i}} | 1: type=${{TYPES[p.Type[i]]}} pred=(${{p.X[i]}},${{p.Y[i]}}) vis=${{p.Visibility[i]}}`;
-    if (p2) txt += ` | 2: type=${{TYPES[p2.Type[i]]}} pred=(${{p2.X[i]}},${{p2.Y[i]}}) vis=${{p2.Visibility[i]}}`;
+    // result 2 may be shorter than result 1 - don't render 'undefined'
+    if (p2 && i < p2.Type.length) txt += ` | 2: type=${{TYPES[p2.Type[i]]}} pred=(${{p2.X[i]}},${{p2.Y[i]}}) vis=${{p2.Visibility[i]}}`;
     document.getElementById('info').textContent = txt;
   }};
   img.src=`frame?rally=${{encodeURIComponent(rally)}}&i=${{i}}`;
@@ -200,7 +201,9 @@ document.getElementById('histbtn').onclick=()=>{{
   im.src='diff_hist.png?ts='+Date.now(); im.style.display='block';
 }};
 document.addEventListener('keydown',(e)=>{{
-  if (e.key==='ArrowRight') showFrame(Math.min(cur+1, pred().Type.length-1));
+  const p = pred();
+  if (!p || !p.Type) return;  // before boot() resolves / empty pred_dict
+  if (e.key==='ArrowRight') showFrame(Math.min(cur+1, p.Type.length-1));
   if (e.key==='ArrowLeft') showFrame(Math.max(cur-1, 0));
 }});
 boot();
@@ -226,15 +229,47 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
-    def _rally_frame_path(self, rally_key: str, i: int) -> Optional[str]:
-        match_id, rally_id = rally_key.split("_", 1)
+    @staticmethod
+    def _split_rally_key(rally_key: str):
+        """'{match_id}_{rally_id}' -> parts, with both components
+        validated (the rally id is spliced into filesystem paths; allow
+        only the reference naming alphabet - no separators/dots, so no
+        path traversal from a crafted ?rally= query)."""
+        match_id, _, rally_id = rally_key.partition("_")
+        ok = match_id.isdigit() and rally_id and all(
+            c.isalnum() or c == "_" for c in rally_id
+        )
+        return (match_id, rally_id) if ok else (None, None)
+
+    def _find_match_dir(self, rally_key: str) -> Optional[str]:
+        """Single source of truth for the test/val/train match-dir probe."""
+        match_id, rally_id = self._split_rally_key(rally_key)
+        if match_id is None:
+            return None
         for split in ("test", "val", "train"):
-            p = os.path.join(
-                self.data_dir, split, f"match{match_id}", "frame", rally_id, f"{i}.png"
-            )
-            if os.path.exists(p):
-                return p
+            match_dir = os.path.join(self.data_dir, split, f"match{match_id}")
+            if os.path.isdir(os.path.join(match_dir, "frame", rally_id)):
+                return match_dir
         return None
+
+    @staticmethod
+    def _label_csv_with_fallback(match_dir: str, rally_id: str) -> str:
+        """Label CSV path; test matches resolve to corrected_csv, which
+        may not be installed yet - fall back to the raw labels."""
+        from ..utils.io import label_csv_path
+
+        src = label_csv_path(match_dir, rally_id)
+        if not os.path.exists(src):
+            src = os.path.join(match_dir, "csv", f"{rally_id}_ball.csv")
+        return src
+
+    def _rally_frame_path(self, rally_key: str, i: int) -> Optional[str]:
+        match_dir = self._find_match_dir(rally_key)
+        if match_dir is None:
+            return None
+        rally_id = self._split_rally_key(rally_key)[1]
+        p = os.path.join(match_dir, "frame", rally_id, f"{i}.png")
+        return p if os.path.exists(p) else None
 
     def _drop_frame(self) -> Optional[Dict]:
         p = os.path.join(self.data_dir, "drop_frame.json")
@@ -248,18 +283,20 @@ class _Handler(BaseHTTPRequestHandler):
         reference UI, which reads them live: error_analysis.py:148-153)."""
         import numpy as np
 
-        from ..utils.io import label_csv_path, read_label_rows
+        from ..utils.io import read_label_rows
 
-        match_id, rally_id = rally_key.split("_", 1)
-        for split in ("test", "val", "train"):
-            match_dir = os.path.join(self.data_dir, split, f"match{match_id}")
-            if os.path.isdir(os.path.join(match_dir, "frame", rally_id)):
-                rows = read_label_rows(label_csv_path(match_dir, rally_id))
-                return (
-                    np.asarray(rows["X"], np.float64),
-                    np.asarray(rows["Y"], np.float64),
-                )
-        return None
+        match_dir = self._find_match_dir(rally_key)
+        if match_dir is None:
+            return None
+        rally_id = self._split_rally_key(rally_key)[1]
+        src = self._label_csv_with_fallback(match_dir, rally_id)
+        if not os.path.exists(src):
+            return None
+        rows = read_label_rows(src)
+        return (
+            np.asarray(rows["X"], np.float64),
+            np.asarray(rows["Y"], np.float64),
+        )
 
     def _diff_hist_png(self) -> Optional[bytes]:
         """FP1/FP2 pixel-error histograms: result 1 vs result 2 over all
@@ -349,32 +386,28 @@ class _Handler(BaseHTTPRequestHandler):
         req = json.loads(self.rfile.read(length))
         rally_key = req["rally"]
         corrections = {int(k): v for k, v in req["corrections"].items()}
-        match_id, rally_id = rally_key.split("_", 1)
-        # Locate the rally's label csv and apply corrections.
-        for split in ("test", "val", "train"):
-            match_dir = os.path.join(self.data_dir, split, f"match{match_id}")
-            if os.path.isdir(os.path.join(match_dir, "frame", rally_id)):
-                break
-        else:
+        match_dir = self._find_match_dir(rally_key)
+        if match_dir is None:
             self.send_error(404)
             return
-        from ..utils.io import label_csv_path, read_label_rows, write_label_rows
+        rally_id = self._split_rally_key(rally_key)[1]
+        from ..utils.io import read_label_rows, write_label_rows
 
-        src = label_csv_path(match_dir, rally_id)
-        if not os.path.exists(src):
-            # test matches resolve to corrected_csv, which may not be
-            # installed yet - start from the raw labels
-            src = os.path.join(match_dir, "csv", f"{rally_id}_ball.csv")
-        rows = read_label_rows(src)
+        rows = read_label_rows(self._label_csv_with_fallback(match_dir, rally_id))
+        applied = 0
         for j, frame in enumerate(rows["Frame"]):
             if int(frame) in corrections:
                 x, y = corrections[int(frame)]
                 rows["X"][j], rows["Y"][j], rows["Visibility"][j] = x, y, 1
+                applied += 1
         out_dir = os.path.join(match_dir, "corrected_csv")
         os.makedirs(out_dir, exist_ok=True)
         out = os.path.join(out_dir, f"{rally_id}_ball.csv")
         write_label_rows(rows, out)
-        self._send(f"Wrote {len(corrections)} corrections to {out}".encode(), "text/plain")
+        # report what actually landed: a correction keyed by a frame
+        # absent from the CSV matches no row and must not read as saved
+        msg = f"Wrote {applied} of {len(corrections)} corrections to {out}"
+        self._send(msg.encode(), "text/plain")
 
 
 def make_handler(
@@ -415,7 +448,11 @@ def serve(
     correct_mode: bool = False,
     title: Optional[str] = None,
     analysis_file_2: Optional[str] = None,
+    host: str = "127.0.0.1",
 ):
+    """Serve the UI. Binds localhost by default: the server exposes an
+    unauthenticated label-write endpoint in correct_mode and dataset
+    frame reads - pass host='0.0.0.0' only on a trusted network."""
     handler = make_handler(
         analysis_file,
         analysis_file_2=analysis_file_2,
@@ -423,6 +460,6 @@ def serve(
         correct_mode=correct_mode,
         title=title,
     )
-    server = HTTPServer(("0.0.0.0", port), handler)
-    print(f"Serving on http://localhost:{port}/ (Ctrl-C to stop)")
+    server = HTTPServer((host, port), handler)
+    print(f"Serving on http://{host}:{port}/ (Ctrl-C to stop)")
     server.serve_forever()
