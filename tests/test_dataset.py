@@ -127,6 +127,90 @@ def test_heatmap_loader_iter_from_matches_tail(tiny_data, segment_windows):
             np.testing.assert_array_equal(a[k], b[k])
 
 
+def test_segmented_loader_matches_standard_with_frame_gaps(tmp_path):
+    """Segmented batches must pair the SAME pixels with each window as the
+    plain loader even when the label CSV skips on-disk frames (the old
+    arange-from-frame0 gather silently shifted every window after a gap),
+    and each window must appear at most twice per epoch (stride-seg
+    starts + one tail segment, not every overlapping start)."""
+    import jax.numpy as jnp
+
+    from tracknetv3_tpu.training.steps import assemble_tracknet_inputs
+
+    root = tmp_path / "data"
+    match = root / "train" / "match1"
+    rally = "1_00_00"
+    (match / "csv").mkdir(parents=True)
+    fdir = match / "frame" / rally
+    fdir.mkdir(parents=True)
+    rng = np.random.default_rng(3)
+    for t in range(13):
+        Image.fromarray(
+            rng.integers(0, 255, size=(36, 64, 3), dtype=np.uint8)
+        ).save(fdir / f"{t}.png")
+    frames_labeled = [t for t in range(13) if t != 5]  # skip frame 5
+    pd.DataFrame(
+        {
+            "Frame": frames_labeled,
+            "Visibility": [1] * len(frames_labeled),
+            "X": rng.integers(1, 63, len(frames_labeled)),
+            "Y": rng.integers(1, 35, len(frames_labeled)),
+        }
+    ).to_csv(match / "csv" / f"{rally}_ball.csv", index=False)
+
+    idx = build_split_index(str(root), "train", 4, 1, "heatmap", use_cache=False)
+
+    def windows(loader):
+        out = {}
+        counts = {}
+        for b in loader:
+            x = np.asarray(
+                assemble_tracknet_inputs(
+                    {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+                     for k, v in b.items()}, ""
+                )
+            )
+            for k in range(b["id"].shape[0]):
+                key = tuple(b["id"][k].reshape(-1))
+                out[key] = x[k]
+                counts[key] = counts.get(key, 0) + 1
+        return out, counts
+
+    plain, _ = windows(HeatmapBatchLoader(idx, "", batch_size=4, data_dir=str(root)))
+    seg, counts = windows(
+        HeatmapBatchLoader(idx, "", batch_size=4, data_dir=str(root),
+                           segment_windows=2)
+    )
+    assert set(seg) == set(plain)  # full window coverage
+    assert max(counts.values()) <= 2  # stride-seg + tail, not every start
+    for key in plain:
+        np.testing.assert_array_equal(plain[key], seg[key])
+
+
+def test_frame_cache_budget_evicts(tiny_data):
+    r1_dir = os.path.join(tiny_data, "train", "match1", "frame", "1_00_00")
+    r2_dir = os.path.join(tiny_data, "train", "match2", "frame", "1_00_00")
+    cache = FrameCache(tiny_data, "", budget_bytes=1)
+    cache.load(r1_dir)
+    assert len(cache._rgb) == 1  # at least one rally always stays
+    cache.load(r2_dir)
+    assert len(cache._rgb) == 1 and r2_dir in cache._rgb  # LRU evicted
+
+
+def test_split_index_padding_gets_own_cache(tmp_path, tiny_data):
+    """padding=True/False must not share an npz cache: a padding=False
+    cache reused for padding=True would silently drop tail windows."""
+    idx_np = build_split_index(tiny_data, "train", 5, 5, "heatmap",
+                               padding=False, use_cache=True)
+    idx_p = build_split_index(tiny_data, "train", 5, 5, "heatmap",
+                              padding=True, use_cache=True)
+    assert len(idx_p) > len(idx_np)  # 12-frame rallies: pad adds the tail
+    assert os.path.exists(os.path.join(tiny_data, "data_l5_s5_heatmap_train.npz"))
+    assert os.path.exists(
+        os.path.join(tiny_data, "data_l5_s5_heatmap_pad_train.npz")
+    )
+
+
 def test_coordinate_loader(tiny_data):
     idx = build_split_index(tiny_data, "train", 4, 2, "coordinate", use_cache=False)
     loader = CoordinateBatchLoader(idx, batch_size=4)

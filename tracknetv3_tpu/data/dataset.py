@@ -206,8 +206,15 @@ def build_split_index(
         rally_i = abs_dirs.index(rally_dir)
         data = build_fn(data_dir, rally_dir, rally_i, seq_len, sliding_step, padding)
     else:
+        # Padded indices get a distinct cache name: the reference writes
+        # the same filename for both padding settings (its own latent
+        # stale-cache bug, dataset.py:117-134); padding only differs when
+        # sliding_step == seq_len, and a padding=False cache reused for
+        # padding=True would silently drop every rally's tail window.
+        pad_tag = "_pad" if padding else ""
         cache_file = os.path.join(
-            data_dir, f"data_l{seq_len}_s{sliding_step}_{data_mode}_{split}.npz"
+            data_dir,
+            f"data_l{seq_len}_s{sliding_step}_{data_mode}{pad_tag}_{split}.npz",
         )
         if use_cache and os.path.exists(cache_file):
             loaded = np.load(cache_file, allow_pickle=False)
@@ -241,12 +248,30 @@ class FrameCache:
     at original resolution, then resized; reference dataset.py:617-630).
     """
 
-    def __init__(self, data_dir: str, bg_mode: str = ""):
+    def __init__(self, data_dir: str, bg_mode: str = "", budget_bytes: float = 12e9):
+        """``budget_bytes`` bounds host RAM: a full training split is
+        ~0.5 MB/frame resident, which would otherwise grow without limit
+        across an epoch. Least-recently-loaded rallies are evicted (their
+        on-disk npz caches make a reload cheap)."""
         self.data_dir = data_dir
         self.bg_mode = bg_mode
+        self.budget_bytes = budget_bytes
         self._rgb: Dict[str, np.ndarray] = {}
         self._diff: Dict[str, np.ndarray] = {}
         self._median: Dict[str, np.ndarray] = {}
+        self._order: List[str] = []  # insertion/use order for eviction
+
+    def _evict_to_budget(self):
+        def used():
+            total = 0
+            for d in (self._rgb, self._diff, self._median):
+                total += sum(a.nbytes for a in d.values())
+            return total
+
+        while len(self._order) > 1 and used() > self.budget_bytes:
+            victim = self._order.pop(0)
+            for d in (self._rgb, self._diff, self._median):
+                d.pop(victim, None)
 
     def _cache_path(self, rally_dir: str) -> str:
         tag = {
@@ -298,6 +323,13 @@ class FrameCache:
                 self._diff[rally_dir] = data["diff"]
             if "median_resized" in data:
                 self._median[rally_dir] = data["median_resized"]
+            self._order.append(rally_dir)
+            self._evict_to_budget()
+        else:
+            # refresh recency so the shuffled loader's revisits don't
+            # evict the rallies it is actively batching from
+            self._order.remove(rally_dir)
+            self._order.append(rally_dir)
         return (
             self._rgb[rally_dir],
             self._diff.get(rally_dir),
@@ -369,13 +401,39 @@ class HeatmapBatchLoader:
             for k in range(1, seg):
                 ok &= same_rally[k : n - seg + 1 + k] == same_rally[: n - seg + 1]
                 ok &= pos[k : n - seg + 1 + k] == pos[: n - seg + 1] + k
-            self._segment_starts = np.nonzero(ok)[0]
+            # NON-overlapping segments (stride seg within each ok run,
+            # plus the run's final start so tail windows are covered):
+            # keeping every overlapping start would put each window in
+            # ~seg segments, making the epoch seg x longer and shipping
+            # MORE pixels per epoch than the plain loader - the opposite
+            # of this mode's purpose. Each window now appears once (tail
+            # segments may re-cover at most seg-1 windows per rally).
+            ok_idx = np.nonzero(ok)[0]
+            runs = (
+                np.split(ok_idx, np.nonzero(np.diff(ok_idx) > 1)[0] + 1)
+                if len(ok_idx)
+                else []
+            )
+            starts = []
+            for r in runs:
+                chosen = list(r[::seg])
+                if chosen[-1] != r[-1]:
+                    chosen.append(r[-1])
+                starts.extend(chosen)
+            self._segment_starts = np.asarray(starts, np.int64)
+            if n > 0 and len(self._segment_starts) == 0:
+                raise ValueError(
+                    f"segment_windows={seg} found no consecutive stride-1 "
+                    "window runs - segmented batching requires an index "
+                    "built with sliding_step=1"
+                )
 
     def __len__(self):
         if self.segment_windows > 1:
-            return len(self._segment_starts) // (
-                self.batch_size // self.segment_windows
-            )
+            nsb = self.batch_size // self.segment_windows
+            if self.drop_last:
+                return len(self._segment_starts) // nsb
+            return -(-len(self._segment_starts) // nsb)
         n = len(self.index)
         if self.drop_last:
             return n // self.batch_size
@@ -414,11 +472,17 @@ class HeatmapBatchLoader:
         if self.shuffle:
             self.rng.shuffle(starts)
         n_batches = len(starts) // n_seg_batch
+        # honor drop_last=False like the plain path: the remainder
+        # segments form a final short batch instead of vanishing (losing
+        # each rally's tail windows from every epoch)
+        if not self.drop_last and len(starts) % n_seg_batch:
+            n_batches += 1
         need_diff = self.bg_mode in ("subtract", "subtract_concat")
         need_rgb = self.bg_mode in ("", "subtract_concat", "concat")
         span = seg + L - 1  # unique frames per segment
         for bi in range(start_batch, n_batches):
             seg_starts = starts[bi * n_seg_batch : (bi + 1) * n_seg_batch]
+            nsb = len(seg_starts)  # < n_seg_batch only for the tail batch
             # window rows of this batch, ordered segment-major
             sel = (seg_starts[:, None] + np.arange(seg)[None, :]).reshape(-1)
             ids = self.index.data["id"][sel]
@@ -430,26 +494,30 @@ class HeatmapBatchLoader:
             cy = (coor[..., 1] / scaler[:, None, 1]).astype(np.int32)
 
             rgb = (
-                np.zeros((n_seg_batch, span, HEIGHT, WIDTH, 3), np.uint8)
+                np.zeros((nsb, span, HEIGHT, WIDTH, 3), np.uint8)
                 if need_rgb
                 else None
             )
             diff = (
-                np.zeros((n_seg_batch, span, HEIGHT, WIDTH, 1), np.uint8)
+                np.zeros((nsb, span, HEIGHT, WIDTH, 1), np.uint8)
                 if need_diff
                 else None
             )
             median = (
-                np.zeros((n_seg_batch, HEIGHT, WIDTH, 3), np.uint8)
+                np.zeros((nsb, HEIGHT, WIDTH, 3), np.uint8)
                 if self.bg_mode == "concat"
                 else None
             )
+            fid = self.index.data["frame_id"]
             for k, st in enumerate(seg_starts):
                 first = self.index.data["id"][st]
-                frame0 = self.index.data["frame_id"][st][0]
                 rd = self.index.rally_dirs[first[0, 0]]
                 r, d, m = self.cache.load(rd)
-                fr = np.arange(frame0, frame0 + span)
+                # the segment's unique frames by their actual on-disk ids
+                # (window st's L rows + each later window's new last row):
+                # an arange from frame 0 would silently pair wrong pixels
+                # with labels when the label CSV skips frames
+                fr = np.concatenate([fid[st], fid[st + 1 : st + seg, -1]])
                 fr = np.clip(fr, 0, r.shape[0] - 1 if r is not None else d.shape[0] - 1)
                 if need_rgb:
                     rgb[k] = r[fr]
@@ -520,13 +588,14 @@ class HeatmapBatchLoader:
             if self.frame_alpha > 0:
                 from .frame_mixup import plan_frame_mixup
 
-                B = len(sel)
+                nb = len(sel)  # NOT B: the final batch may be short, and
+                # rebinding B would shrink every later batch's slice
                 plans = [
                     plan_frame_mixup(
                         coor[b], vis[b], scaler[b, 0], scaler[b, 1],
                         self.frame_alpha, self.rng,
                     )
-                    for b in range(B)
+                    for b in range(nb)
                 ]
                 batch["mix_pair"] = np.stack([p.frame_pair for p in plans])
                 batch["mix_pix_w"] = np.stack([p.pix_w for p in plans])

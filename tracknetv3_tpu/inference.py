@@ -239,12 +239,25 @@ class TrackNetPredictor:
     def _nonoverlap_step_resident_impl(self, all_frames, median, w0, num_frames):
         """Nonoverlap chunk against a resident padded buffer: windows
         w0..w0+B-1 (start frames clipped at the video bounds like the
-        reference's repeat-last-frame padding). Packed (B*L, 3) output."""
+        reference's repeat-last-frame padding). Packed (B*L, 3) output.
+
+        Only the chunk's B*L+L-1-frame span is handed to the
+        preprocessor: gather indices are traced, so passing the whole
+        buffer would resize ALL T frames per chunk (~n_chunks x redundant
+        work and a full-video f32 copy in HBM)."""
         L, B = self.seq_len, self.batch_size
-        starts = jnp.clip(
+        starts_abs = jnp.clip(
             (w0 + jnp.arange(B)) * L, 0, jnp.maximum(num_frames - 1, 0)
         ) + (L - 1)  # account for the front padding
-        wins = self._forward_windows(all_frames, median, starts)
+        base = starts_abs[0]
+        span = B * L + L - 1
+        # take (clamping gather), not dynamic_slice: a slice near the
+        # buffer end would shift base and misalign the relative starts;
+        # clamped rows land on the back padding (= last real frame),
+        # matching the reference's repeat-last-frame rule.
+        idx = jnp.clip(base + jnp.arange(span), 0, all_frames.shape[0] - 1)
+        chunk = jnp.take(all_frames, idx, axis=0)
+        wins = self._forward_windows(chunk, median, starts_abs - base)
         flat = wins.reshape((B * L,) + wins.shape[2:])
         dec = decode_heatmaps(flat)
         return jnp.stack([dec["cx"], dec["cy"], dec["vis"]], axis=-1)
@@ -815,6 +828,11 @@ class TrackNetPredictor:
                     if lo > base:
                         buf = buf[lo - base :]
                         base = lo
+                    if not buf:
+                        # container metadata overcounted the decodable
+                        # frames (VFR/corrupt tail): stop gracefully like
+                        # the nonoverlap branch instead of IndexError
+                        break
                     idx = np.clip(
                         np.arange(t0 - L + 1, t0 + B + L - 1) - base,
                         0,
@@ -959,6 +977,10 @@ class TrackNetPredictor:
                             buf_rgb = buf_rgb[lo - base :]
                             buf_diff = buf_diff[lo - base :]
                             base = lo
+                        if not buf_rgb:
+                            # metadata overcounted decodable frames: stop
+                            # gracefully (matches the nonoverlap branch)
+                            break
                         idx = np.clip(
                             np.arange(t0 - L + 1, t0 + B + L - 1) - base,
                             0,
@@ -1015,11 +1037,16 @@ class TrackNetPredictor:
         # Background prefetch: overlap cv2 decode with device compute.
         q: "queue.Queue" = queue.Queue(maxsize=4)
         SENTINEL = object()
+        producer_err: List[BaseException] = []
 
         def producer():
             try:
                 for item in chunk_iter:
                     q.put(item)
+            except BaseException as e:  # noqa: BLE001 - re-raised below;
+                # a swallowed generator error would silently truncate the
+                # prediction CSV (same plumbing as _streaming_host_resize)
+                producer_err.append(e)
             finally:
                 q.put(SENTINEL)
 
@@ -1039,7 +1066,10 @@ class TrackNetPredictor:
                     jnp.asarray(chunk), med_dev, jnp.int32(t0), S
                 )
             results.append((dec, n_valid))
-
+        if producer_err:
+            raise RuntimeError(
+                "video decode failed mid-stream"
+            ) from producer_err[0]
         return self._collect(results, total_frames, img_scaler)
 
     @staticmethod
