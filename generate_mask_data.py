@@ -14,7 +14,12 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--tracknet_file", type=str, required=True)
     parser.add_argument("--batch_size", type=int, default=16)
-    parser.add_argument("--eval_mode", type=str, default="nonoverlap", choices=["nonoverlap", "average", "weight"])
+    # Default matches the reference recipe (reference generate_mask_data.py:13
+    # defaults eval_mode='weight'): InpaintNet training CSVs are produced from
+    # the weighted temporal ensemble.  'nonoverlap' is ~L× faster (each frame
+    # forwarded once) at slightly lower trajectory quality — useful for quick
+    # mask-data regeneration, but not the published recipe.
+    parser.add_argument("--eval_mode", type=str, default="weight", choices=["nonoverlap", "average", "weight"])
     parser.add_argument(
         "--split_list", type=lambda s: s.split(","), default=["train", "val", "test"]
     )

@@ -62,9 +62,10 @@ def _reference_ensemble(window_preds: np.ndarray, weights: np.ndarray) -> np.nda
 
 
 @pytest.fixture()
-def small_res(monkeypatch):
-    monkeypatch.setattr(inf, "HEIGHT", H)
-    monkeypatch.setattr(inf, "WIDTH", W)
+def small_res():
+    # Model resolution is a TrackNetPredictor parameter (input_hw) now; the
+    # fixture survives as a no-op marker on tests that run at tiny shapes.
+    yield
 
 
 def _setup(tmp_path, seed=0):
@@ -123,7 +124,8 @@ def test_pipeline_parity_on_converted_weights(tmp_path, small_res):
 
     # --- our production pipeline (f32 for cross-framework numerics) ---
     p = inf.TrackNetPredictor(
-        ckpt, eval_mode="weight", batch_size=4, compute_dtype=jnp.float32
+        ckpt, eval_mode="weight", batch_size=4, compute_dtype=jnp.float32,
+        input_hw=(H, W),
     )
     staged = inf.StagedVideo(
         buf=jnp.asarray(frames), T=T, median=None, bgr=False, src_wh=(W, H)

@@ -27,9 +27,10 @@ L = 3
 
 
 @pytest.fixture()
-def small_res(monkeypatch):
-    monkeypatch.setattr(inf, "HEIGHT", H)
-    monkeypatch.setattr(inf, "WIDTH", W)
+def small_res():
+    # Model resolution is a TrackNetPredictor parameter (input_hw) now; the
+    # fixture survives as a no-op marker on tests that run at tiny shapes.
+    yield
 
 
 def _make_predictor(tmp_path, bg_mode="concat", eval_mode="weight", batch_size=4):
@@ -42,7 +43,9 @@ def _make_predictor(tmp_path, bg_mode="concat", eval_mode="weight", batch_size=4
         model=variables,
         param_dict=dict(model_name="TrackNet", seq_len=L, bg_mode=bg_mode),
     )
-    return inf.TrackNetPredictor(path, eval_mode=eval_mode, batch_size=batch_size)
+    return inf.TrackNetPredictor(
+        path, eval_mode=eval_mode, batch_size=batch_size, input_hw=(H, W)
+    )
 
 
 def _staged_from_buf(p, buf_u8, bgr=False):
@@ -267,7 +270,8 @@ def test_streaming_steps_honor_compute_dtype(tmp_path, small_res):
         param_dict=dict(model_name="TrackNet", seq_len=L, bg_mode=""),
     )
     p = inf.TrackNetPredictor(
-        path, eval_mode="weight", batch_size=4, compute_dtype=jnp.float32
+        path, eval_mode="weight", batch_size=4, compute_dtype=jnp.float32,
+        input_hw=(H, W),
     )
     rgb = jnp.zeros((4 + L - 1, H, W, 3), jnp.uint8)
     jaxpr = jax.make_jaxpr(
@@ -295,7 +299,7 @@ def test_inpaint_trajectory_bucket_shares_compiles(tmp_path, small_res):
     _make_predictor(tmp_path, bg_mode="")  # writes the TrackNet ckpt
     p = inf.TrackNetPredictor(
         str(tmp_path / "tn_none.pt"), inpaintnet_file=in_path,
-        eval_mode="weight", batch_size=4,
+        eval_mode="weight", batch_size=4, input_hw=(H, W),
     )
     rng = np.random.default_rng(21)
 

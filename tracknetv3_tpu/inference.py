@@ -76,7 +76,13 @@ class TrackNetPredictor:
         batch_size: int = 16,
         compute_dtype=None,
         native_decode: bool = True,
+        input_hw: Optional[Tuple[int, int]] = None,
     ):
+        # Model input resolution is a *predictor parameter* (default: the
+        # production 288x512 from config). Tests and the multichip dryrun
+        # pass tiny shapes here instead of patching module globals; every
+        # resolution-dependent site below reads self.h/self.w.
+        self.h, self.w = (int(input_hw[0]), int(input_hw[1])) if input_hw else (HEIGHT, WIDTH)
         # bf16 rides the MXU at 2x the f32 rate and is the production
         # default; f32 is for numerics work (e.g. cross-framework parity
         # against the reference's f32 torch pipeline).
@@ -105,7 +111,9 @@ class TrackNetPredictor:
                 inpaintnet_file
             )
             self.inpaintnet_seq_len = int(in_pd.get("seq_len", 16))
-        self._preproc = make_window_preprocessor(self.bg_mode, self.seq_len)
+        self._preproc = make_window_preprocessor(
+            self.bg_mode, self.seq_len, hw=(self.h, self.w)
+        )
         self._inpaint_overlap = jax.jit(self._inpaint_overlap_impl)
         self._inpaint_nonoverlap = jax.jit(self._inpaint_nonoverlap_impl)
         self._weights = jnp.asarray(
@@ -409,8 +417,9 @@ class TrackNetPredictor:
         # prediction CSV with it).
         producer_err: List[BaseException] = []
 
+        H, W = self.h, self.w
         reader = (
-            open_native_video(video_file, WIDTH, HEIGHT, lowres=-1, bgr=True)
+            open_native_video(video_file, W, H, lowres=-1, bgr=True)
             if self.native_decode
             else None
         )
@@ -422,7 +431,7 @@ class TrackNetPredictor:
             def producer():
                 try:
                     while True:
-                        buf = np.empty((slab_frames, HEIGHT, WIDTH, 3), np.uint8)
+                        buf = np.empty((slab_frames, H, W, 3), np.uint8)
                         n = reader.read_into(buf)  # releases the GIL
                         if n <= 0:
                             break
@@ -457,7 +466,7 @@ class TrackNetPredictor:
                             break
                         buf.append(
                             cv2.resize(
-                                f, (WIDTH, HEIGHT), interpolation=cv2.INTER_LINEAR
+                                f, (W, H), interpolation=cv2.INTER_LINEAR
                             )
                         )
                         if len(buf) == slab_frames:
@@ -527,7 +536,7 @@ class TrackNetPredictor:
             part = frames[lo : lo + slab_frames]
             resized = np.stack(
                 [
-                    cv2.resize(f, (WIDTH, HEIGHT), interpolation=cv2.INTER_LINEAR)
+                    cv2.resize(f, (self.w, self.h), interpolation=cv2.INTER_LINEAR)
                     for f in part
                 ]
             )
@@ -589,14 +598,14 @@ class TrackNetPredictor:
             step.lower(buf, med, jnp.int32(0)).compile()
         else:
             scan = self._staged_scan_fn(staged.bgr, mesh)
-            state = ensemble_init(L, (HEIGHT, WIDTH))
+            state = ensemble_init(L, (self.h, self.w))
             scan.lower(buf, med, state).compile()
 
     def _staged_median_arg(self, staged: StagedVideo):
         return (
             staged.median
             if staged.median is not None
-            else jnp.zeros((HEIGHT, WIDTH, 3), jnp.float32)
+            else jnp.zeros((self.h, self.w, 3), jnp.float32)
         )
 
     def run_staged(
@@ -617,7 +626,7 @@ class TrackNetPredictor:
         T = staged.T
         L, B = self.seq_len, self.batch_size
         if img_scaler is None:
-            img_scaler = (staged.src_wh[0] / WIDTH, staged.src_wh[1] / HEIGHT)
+            img_scaler = (staged.src_wh[0] / self.w, staged.src_wh[1] / self.h)
         med = self._staged_median_arg(staged)
         buf = staged.buf
         if mesh is not None:
@@ -637,7 +646,7 @@ class TrackNetPredictor:
         else:
             # Whole video in ONE dispatch + ONE fetch (see _staged_scan_fn).
             scan = self._staged_scan_fn(staged.bgr, mesh)
-            state = ensemble_init(L, (HEIGHT, WIDTH))
+            state = ensemble_init(L, (self.h, self.w))
             arr = np.asarray(scan(buf, med, state))[:T]
             return self._rows_to_pred(arr, img_scaler)
         # nonoverlap: one device-side concat of the valid rows + a SINGLE
@@ -782,7 +791,7 @@ class TrackNetPredictor:
         resolution uint8 tensors cross the PCIe/relay link; the overlap
         chunks then run the pre-resized device step."""
         reader = VideoReader(video_file)
-        img_scaler = (reader.w / WIDTH, reader.h / HEIGHT)
+        img_scaler = (reader.w / self.w, reader.h / self.h)
         if median is None and self.bg_mode:
             median = reader.sample_median(max_sample_num, video_range)
         T = reader.video_len
@@ -865,18 +874,19 @@ class TrackNetPredictor:
             from .native_video import open_native_video
 
             native_reader = open_native_video(
-                reader.path, WIDTH, HEIGHT, lowres=-1, bgr=False
+                reader.path, self.w, self.h, lowres=-1, bgr=False
             )
         if native_reader is not None:
             self.decode_backend = f"native-lowres{native_reader.applied_lowres}"
             reader.release()
         else:
             self.decode_backend = "cv2"
+        H, W = self.h, self.w
         med_resized = None
         if self.bg_mode == "concat":
             med_resized = jnp.asarray(
                 cv2.resize(
-                    median.astype(np.uint8), (WIDTH, HEIGHT), interpolation=cv2.INTER_AREA
+                    median.astype(np.uint8), (W, H), interpolation=cv2.INTER_AREA
                 )
             )
 
@@ -884,14 +894,14 @@ class TrackNetPredictor:
             out = []
             if need_rgb:
                 out.append(
-                    cv2.resize(frame, (WIDTH, HEIGHT), interpolation=cv2.INTER_AREA)
+                    cv2.resize(frame, (W, H), interpolation=cv2.INTER_AREA)
                 )
             else:
                 out.append(None)
             if need_diff:
                 d = np.sum(np.abs(frame - median), axis=2).astype("uint8")
                 out.append(
-                    cv2.resize(d, (WIDTH, HEIGHT), interpolation=cv2.INTER_AREA)[
+                    cv2.resize(d, (W, H), interpolation=cv2.INTER_AREA)[
                         ..., None
                     ]
                 )
@@ -1119,11 +1129,11 @@ class TrackNetPredictor:
 
     @staticmethod
     def _bucket(n: int) -> int:
-        """Round window counts up to coarse buckets to bound recompiles."""
-        b = 64
-        while b < n:
-            b *= 2
-        return b
+        """Round window counts up to the next multiple of 64: bounds
+        recompiles across videos of similar length while wasting at most
+        63 InpaintNet windows (the earlier power-of-two bucketing wasted
+        up to ~2x the real window count on long videos)."""
+        return -(-n // 64) * 64
 
     def inpaint_trajectory(
         self,
@@ -1167,15 +1177,24 @@ class TrackNetPredictor:
             ens = np.asarray(self._inpaint_overlap(cw, mw, jnp.int32(S)))
             flat = ens[:T]
 
-        result = {"Frame": [], "X": [], "Y": [], "Visibility": []}
-        for t in range(T):
-            cx = int(flat[t, 0] * WIDTH * (w / WIDTH))
-            cy = int(flat[t, 1] * HEIGHT * (h / HEIGHT))
-            result["Frame"].append(int(pred_dict["Frame"][t]))
-            result["X"].append(cx)
-            result["Y"].append(cy)
-            result["Visibility"].append(0 if (cx == 0 and cy == 0) else 1)
-        return result
+        # Vectorized CSV assembly (the last per-frame Python loop on the
+        # production path). Denormalization keeps the reference's exact f32
+        # two-multiply form int(c * WIDTH * w_scaler) with
+        # w_scaler = w/WIDTH (predict.py:51) — a single f64 multiply by w
+        # flips int() truncation on boundary values.
+        cx = (
+            flat[:, 0].astype(np.float32) * np.float32(self.w) * np.float32(w / self.w)
+        ).astype(np.int64)
+        cy = (
+            flat[:, 1].astype(np.float32) * np.float32(self.h) * np.float32(h / self.h)
+        ).astype(np.int64)
+        vis = ((cx != 0) | (cy != 0)).astype(np.int64)
+        return {
+            "Frame": [int(f) for f in pred_dict["Frame"][:T]],
+            "X": cx.tolist(),
+            "Y": cy.tolist(),
+            "Visibility": vis.tolist(),
+        }
 
 
 def predict_video(
@@ -1227,7 +1246,7 @@ def predict_video(
     )
     reader = VideoReader(video_file)
     w, h = reader.w, reader.h
-    img_scaler = (w / WIDTH, h / HEIGHT)
+    img_scaler = (w / predictor.w, h / predictor.h)
     if large_video:
         reader.release()
         pred = predictor.predict_video_streaming(
@@ -1240,7 +1259,7 @@ def predict_video(
         frames = reader.read_all()
         reader.release()
         pred = predictor.predict_frames(frames, img_scaler=img_scaler)
-    elif reader.video_len * HEIGHT * WIDTH * 3 > 8e9:
+    elif reader.video_len * predictor.h * predictor.w * 3 > 8e9:
         # Staging would exceed the device-memory budget (>~18k frames of
         # model-res uint8); fall back to bounded-memory streaming rather
         # than OOM mid-upload.

@@ -262,18 +262,20 @@ def make_staged_preprocessor(
     return run
 
 
-def make_window_preprocessor(bg_mode: str, seq_len: int):
+def make_window_preprocessor(bg_mode: str, seq_len: int, hw=None):
     """Build a jitted (frames_u8, median_orig, starts) -> model-input fn.
 
     ``frames_u8``: (T, H0, W0, 3) uint8 device-resident raw frames covering
     the batch's span; ``median_orig``: (H0, W0, 3) f32 or None;
     ``starts``: (B,) window starts relative to frames_u8's first frame.
-    Returns (B, HEIGHT, WIDTH, C_in) f32 in [0,1].
+    ``hw`` is the target (height, width) — default the production config
+    resolution. Returns (B, height, width, C_in) f32 in [0,1].
 
     Each unique frame is resized exactly once per call; windows share
     resized frames via gather.
     """
 
+    height, width = hw if hw is not None else (HEIGHT, WIDTH)
     needs_diff = bg_mode in ("subtract", "subtract_concat")
     needs_rgb = bg_mode in ("", "subtract_concat", "concat")
 
@@ -281,12 +283,12 @@ def make_window_preprocessor(bg_mode: str, seq_len: int):
     def run(frames_u8, median_orig, starts):
         rgb = diffs = med_resized = None
         if needs_rgb:
-            rgb = resize_frames(frames_u8)
+            rgb = resize_frames(frames_u8, height, width)
         if needs_diff:
             d = background_diff(frames_u8, median_orig)
-            diffs = resize_frames(d)
+            diffs = resize_frames(d, height, width)
         if bg_mode == "concat":
-            med_resized = resize_frames(median_orig)
+            med_resized = resize_frames(median_orig, height, width)
         rgb_w = gather_windows(rgb, starts, seq_len) if rgb is not None else None
         diff_w = gather_windows(diffs, starts, seq_len) if diffs is not None else None
         return window_channels(rgb_w, diff_w, med_resized, bg_mode)
