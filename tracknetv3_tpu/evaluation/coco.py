@@ -139,12 +139,31 @@ def _iou(box_a, box_b) -> float:
     return inter / union if union > 0 else 0.0
 
 
-def evaluate_ap(gt_json: str, detections: List[Dict], iou_threshold: float) -> float:
+def evaluate_ap(
+    gt_json: str,
+    detections: List[Dict],
+    iou_threshold: float,
+    max_dets: int = 100,
+) -> float:
     """Single-class COCO-style AP at one IoU threshold.
 
-    Greedy matching of score-sorted detections to unmatched GT of the same
-    image, 101-point interpolated AP - the COCOeval protocol restricted to
-    one category and one area range.
+    Implements the COCOeval 'bbox' protocol restricted to one category and
+    the 'all' area range (the configuration the reference runs,
+    reference test.py:1005-1014, which reads ``stats[0]`` with a single
+    ``iouThrs`` entry). Protocol details mirrored from pycocotools and
+    pinned by golden fixtures in tests/test_coco.py:
+
+    - detections are score-sorted with a STABLE sort (ties keep input
+      order, like pycocotools' mergesort) and truncated to ``max_dets``
+      per image (default 100, COCOeval's stats[0] setting) BEFORE
+      matching;
+    - greedy matching walks each image's GT list and takes the best-IoU
+      unmatched GT, where an IoU EQUAL to the current best replaces it
+      (pycocotools' ``if ious < iou: continue`` — on exact ties the LAST
+      GT index wins), and a det whose best IoU equals the threshold
+      matches (initial ``iou = min(t, 1-1e-10)``);
+    - AP is the mean over 101 recall thresholds of the monotone precision
+      envelope, 0 where the recall is never reached.
     """
     with open(gt_json) as f:
         gt = json.load(f)
@@ -155,20 +174,33 @@ def evaluate_ap(gt_json: str, detections: List[Dict], iou_threshold: float) -> f
     if n_gt == 0:
         return 0.0
 
+    # Stable global score sort, then per-image maxDets truncation (COCOeval
+    # truncates each image's score-sorted list before matching).
     dets = sorted(detections, key=lambda d: -d["score"])
+    per_image_count: Dict[int, int] = {}
+    kept = []
+    for det in dets:
+        c = per_image_count.get(det["image_id"], 0)
+        if c < max_dets:
+            kept.append(det)
+            per_image_count[det["image_id"]] = c + 1
+    dets = kept
+
     matched: Dict[int, set] = {}
     tp = np.zeros(len(dets))
     fp = np.zeros(len(dets))
+    thr = min(iou_threshold, 1 - 1e-10)
     for i, det in enumerate(dets):
         img = det["image_id"]
-        best_iou, best_j = 0.0, -1
+        best_iou, best_j = thr, -1
         for j, g in enumerate(gt_by_image.get(img, [])):
             if j in matched.get(img, set()):
                 continue
             iou = _iou(det["bbox"], g)
-            if iou > best_iou:
-                best_iou, best_j = iou, j
-        if best_iou >= iou_threshold and best_j >= 0:
+            if iou < best_iou:
+                continue
+            best_iou, best_j = iou, j
+        if best_j >= 0:
             tp[i] = 1
             matched.setdefault(img, set()).add(best_j)
         else:
@@ -177,8 +209,8 @@ def evaluate_ap(gt_json: str, detections: List[Dict], iou_threshold: float) -> f
     ctp = np.cumsum(tp)
     cfp = np.cumsum(fp)
     recall = ctp / n_gt
-    precision = ctp / np.maximum(ctp + cfp, 1e-9)
-    # 101-point interpolation
+    precision = ctp / (ctp + cfp + np.spacing(1))
+    # 101-point interpolation over the monotone precision envelope
     ap = 0.0
     for r in np.linspace(0, 1, 101):
         p = precision[recall >= r]
