@@ -99,6 +99,120 @@ def get_checkpoint(tmpdir, model_name="TrackNet", seq_len=8, bg_mode="concat"):
     return path
 
 
+def run_cold_child(args):
+    """Fresh-process production flow, run ONCE, timings to stdout as JSON.
+
+    Everything a user pays from process start is inside the parent's wall
+    clock: imports, checkpoint load, video decode+staging, program
+    acquisition (persistent-cache load or remote compile), compute, and
+    the InpaintNet stage. Order matters: staging runs before any device
+    program executes (the relay's fast-H2D window, PROFILE.md)."""
+    from tracknetv3_tpu.inference import TrackNetPredictor
+    from tracknetv3_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    video = ensure_video("/tmp", args.frames)
+    ckpt = get_checkpoint("/tmp", bg_mode=args.bg_mode)
+    ckpt_in = (
+        None
+        if args.tracknet_only
+        else get_checkpoint("/tmp", model_name="InpaintNet", seq_len=16, bg_mode="")
+    )
+    predictor = TrackNetPredictor(
+        ckpt, ckpt_in, eval_mode=args.eval_mode, batch_size=args.batch_size
+    )
+    timings = {}
+    t0 = time.time()
+    staged = predictor.stage_video(video, timings=timings)
+    t_stage = time.time() - t0
+    t0 = time.time()
+    pred = predictor.run_staged(staged)
+    if predictor.inpaintnet is not None:
+        pred = predictor.inpaint_trajectory(pred, staged.src_wh)
+    t_run = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "n": len(pred["Frame"]),
+                "stage_s": round(t_stage, 3),
+                "acquire_plus_run_s": round(t_run, 3),
+            }
+        )
+    )
+
+
+def run_cold(args):
+    """--cold: wall-clock a FRESH process through the whole pipeline.
+
+    The reference pays zero compile latency; a fair "beats it end-to-end
+    from process start" claim must include program acquisition. Pass 1
+    (untimed) warms the persistent compile cache; pass 2 is a fresh
+    process timed spawn-to-exit — python+jax import, checkpoint load,
+    decode+staging, cache-hit executable loads, compute, InpaintNet.
+    """
+    import subprocess
+
+    ensure_video("/tmp", args.frames)
+    get_checkpoint("/tmp", bg_mode=args.bg_mode)
+    if not args.tracknet_only:
+        get_checkpoint("/tmp", model_name="InpaintNet", seq_len=16, bg_mode="")
+    from tracknetv3_tpu.native_video import probe_video
+
+    probe_video(ensure_video("/tmp", args.frames))  # build the .so once
+
+    child_cmd = [
+        sys.executable,
+        os.path.abspath(__file__),
+        "--cold_child",
+        f"--frames={args.frames}",
+        f"--batch_size={args.batch_size}",
+        f"--eval_mode={args.eval_mode}",
+        f"--bg_mode={args.bg_mode}",
+    ] + (["--tracknet_only"] if args.tracknet_only else [])
+
+    if not args.assume_warm:
+        t0 = time.time()
+        warm = subprocess.run(child_cmd, capture_output=True, text=True)
+        if warm.returncode != 0:
+            sys.stderr.write(warm.stderr)
+            raise SystemExit(f"cold-bench warm pass failed rc={warm.returncode}")
+        print(
+            f"# warm pass (cache-populating) took {time.time() - t0:.1f}s: "
+            f"{warm.stdout.strip()}",
+            file=sys.stderr,
+        )
+
+    t0 = time.time()
+    cold = subprocess.run(child_cmd, capture_output=True, text=True)
+    wall = time.time() - t0
+    if cold.returncode != 0:
+        sys.stderr.write(cold.stderr)
+        raise SystemExit(f"cold-bench cold pass failed rc={cold.returncode}")
+    child = json.loads(cold.stdout.strip().splitlines()[-1])
+    n = child["n"]
+    fps = n / wall
+    print(
+        f"# COLD start: {n} frames in {wall:.2f}s wall (fresh process; "
+        f"in-process: stage {child['stage_s']}s, acquire+run "
+        f"{child['acquire_plus_run_s']}s; remainder is python+jax import "
+        f"and checkpoint load) -> {fps:.1f} FPS",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "720p COLD-start end-to-end FPS, fresh process incl. "
+                "program acquisition (persistent compile cache, "
+                + ("TrackNet, " if args.tracknet_only else "TrackNet+InpaintNet, ")
+                + "1 chip)",
+                "value": round(fps, 2),
+                "unit": "fps",
+                "vs_baseline": round(fps / BASELINE_FPS, 2),
+            }
+        )
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=480)
@@ -107,6 +221,15 @@ def main():
     ap.add_argument("--bg_mode", type=str, default="concat")
     ap.add_argument("--passes", type=int, default=3)
     ap.add_argument("--quick", action="store_true", help="small run for smoke tests")
+    ap.add_argument(
+        "--cold",
+        action="store_true",
+        help="measure a FRESH process end-to-end including program "
+        "acquisition (after an untimed cache-warming pass)",
+    )
+    ap.add_argument("--assume_warm", action="store_true",
+                    help="with --cold: skip the warming pass")
+    ap.add_argument("--cold_child", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument(
         "--tracknet_only",
         action="store_true",
@@ -117,6 +240,18 @@ def main():
     args = ap.parse_args()
     if args.quick:
         args.frames = 120
+    if args.cold_child:
+        return run_cold_child(args)
+    if args.cold:
+        return run_cold(args)
+
+    from tracknetv3_tpu.utils.compile_cache import enable_persistent_cache
+
+    # Persistent executable cache: later processes (and the passes below
+    # on reruns) load compiled programs from disk instead of paying the
+    # remote XLA compile; "compile" in the breakdown shrinks to cache-load
+    # time once warm.
+    enable_persistent_cache()
 
     from tracknetv3_tpu.inference import TrackNetPredictor
 

@@ -35,6 +35,10 @@ def main():
 
     ensure_virtual_devices(args.num_devices)  # sandbox shim, no-op elsewhere
 
+    from tracknetv3_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # cold-start: reload compiled executables from disk
+
     from tracknetv3_tpu.evaluation.test_engine import RallyTestEngine
     from tracknetv3_tpu.training.checkpoint import load_model_from_checkpoint
 

@@ -48,6 +48,10 @@ def main():
 
     ensure_virtual_devices(args.num_devices)  # sandbox shim, no-op elsewhere
 
+    from tracknetv3_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # cold-start: reload compiled executables from disk
+
     from tracknetv3_tpu.utils.profiling import trace
 
     with trace(args.profile or None):

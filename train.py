@@ -53,6 +53,10 @@ def main():
 
         ensure_virtual_devices(args.num_devices)  # sandbox shim, no-op elsewhere
 
+    from tracknetv3_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # cold-start: reload compiled executables from disk
+
     from tracknetv3_tpu.config import TrainConfig
     from tracknetv3_tpu.training.loop import train
     from tracknetv3_tpu.utils.profiling import trace
