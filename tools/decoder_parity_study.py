@@ -1,0 +1,335 @@
+#!/usr/bin/env python
+"""Decoder-parity statistics: device peak-blob kernel vs the reference's
+exact largest-bbox-area rule (VERDICT r2 next-round item 2).
+
+The on-device decoder (ops/detect.decode_heatmaps) picks the blob that
+contains the global peak; the reference rule (reference test.py:52-79,
+replicated in ops/detect.decode_heatmaps_host) picks the blob with the
+largest bounding-box AREA. They can only disagree on multi-blob frames.
+This study measures how often that happens and what it costs in F1, on
+two corpora:
+
+1. MODEL corpus: ensembled heatmaps produced by a real U-Net forward
+   (converted-weights predictor shaped like a trained detector - sparse
+   localized peaks, see tests/test_pipeline_parity.py) over synthetic
+   moving-dot clips, i.e. the statistics of actual ensembled outputs.
+   Pass --ckpt/--data to use a REAL trained checkpoint on a dataset
+   split's frames instead.
+
+2. PERTURBED corpus: parametric multi-blob stress cases at full
+   288x512 - ghost blobs (a secondary echo of the ball, the common
+   failure mode the temporal ensemble suppresses), blob MERGES (two
+   overlapping disks -> one component) and blob SPLITS (one disk cut by
+   a sub-threshold seam -> two components), swept over relative
+   intensity and size so the peak blob is NOT always the largest-bbox
+   blob.
+
+For every frame both decoders run, disagreement = differing (cx, cy);
+each decode is then classified against the known GT center with the
+5-way rule at tolerance 4 and the resulting confusion/F1 compared.
+
+Usage:
+  python tools/decoder_parity_study.py [--frames 4000] [--out report.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(
+    __import__("os").path.abspath(__file__))))
+
+
+def _f1_from_types(types: np.ndarray) -> dict:
+    from tracknetv3_tpu.evaluation.metrics import confusion_from_types, metrics_dict
+
+    return metrics_dict(confusion_from_types(types))
+
+
+def _classify(cx_p, cy_p, cx_t, cy_t, tolerance=4.0):
+    from tracknetv3_tpu.evaluation.metrics import classify_detections
+
+    return classify_detections(
+        np.asarray(cx_p), np.asarray(cy_p), np.asarray(cx_t), np.asarray(cy_t),
+        tolerance,
+    )
+
+
+def compare(frames: np.ndarray, cx_t: np.ndarray, cy_t: np.ndarray,
+            tolerance: float = 4.0) -> dict:
+    """Run both decoders over (N, H, W) heatmaps with GT centers; return
+    disagreement + metric stats."""
+    import jax.numpy as jnp
+
+    from tracknetv3_tpu.ops.detect import decode_heatmaps, decode_heatmaps_host
+
+    N = frames.shape[0]
+    dev_cx = np.zeros(N, np.int64)
+    dev_cy = np.zeros(N, np.int64)
+    B = 256
+    for lo in range(0, N, B):
+        d = decode_heatmaps(jnp.asarray(frames[lo : lo + B]))
+        dev_cx[lo : lo + B] = np.asarray(d["cx"])
+        dev_cy[lo : lo + B] = np.asarray(d["cy"])
+    host = decode_heatmaps_host(frames)
+    h_cx, h_cy = host["cx"].astype(np.int64), host["cy"].astype(np.int64)
+
+    disagree = (dev_cx != h_cx) | (dev_cy != h_cy)
+    t_dev = _classify(dev_cx, dev_cy, cx_t, cy_t, tolerance)
+    t_host = _classify(h_cx, h_cy, cx_t, cy_t, tolerance)
+    m_dev = _f1_from_types(t_dev)
+    m_host = _f1_from_types(t_host)
+    return dict(
+        frames=int(N),
+        disagreements=int(disagree.sum()),
+        disagree_rate_per_10k=round(1e4 * float(disagree.mean()), 2),
+        f1_device=round(m_dev["f1"], 6),
+        f1_exact=round(m_host["f1"], 6),
+        delta_f1=round(m_dev["f1"] - m_host["f1"], 6),
+        acc_device=round(m_dev["accuracy"], 6),
+        acc_exact=round(m_host["accuracy"], 6),
+        # Type flips on disagreement frames: does a different center
+        # change the 5-way classification at all?
+        type_flips=int((t_dev != t_host).sum()),
+    )
+
+
+# ------------------------------ model corpus ------------------------------
+
+
+def model_corpus(n_frames: int, seed: int = 0):
+    """Ensembled heatmaps from a real U-Net forward over synthetic clips.
+
+    Weights are Xavier-scaled with a predictor bias putting ~0.5% of
+    pixels over threshold as sparse peaks (the regime of a trained
+    detector; raw random weights saturate half the map - meaningless for
+    decoder comparison). Runs at 64x128 so the CPU forward is tractable;
+    blob geometry at model scale is resolution-independent."""
+    import os
+
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests"))
+    from convert_reference_checkpoint import convert_tracknet  # noqa: E402
+    from test_convert_checkpoint import _tracknet_state_dict  # noqa: E402
+
+    from tracknetv3_tpu.models.fused_forward import (
+        fold_batchnorm,
+        tracknet_fused_forward,
+    )
+    from tracknetv3_tpu.ops.ensemble import ensemble_offline, get_ensemble_weight
+    from tracknetv3_tpu.ops.preprocess import make_staged_preprocessor
+
+    H, W, L = 64, 128, 3
+    rng = np.random.default_rng(seed)
+    sd = _tracknet_state_dict(L * 3, L, rng)
+    for k in list(sd):
+        t = sd[k]
+        if k.endswith("conv.weight"):
+            sd[k] = t * (1.0 / (0.1 * np.sqrt(9.0 * t.shape[1])))
+        elif k.endswith("bn.running_mean") or k.endswith("bn.bias"):
+            sd[k] = t * 0
+        elif k.endswith("bn.running_var") or k.endswith("bn.weight"):
+            sd[k] = t * 0 + 1.0
+    sd["predictor.weight"] = sd["predictor.weight"] * 200.0
+    sd["predictor.bias"] = sd["predictor.bias"] * 0.0 - 4.0
+    variables = convert_tracknet(sd)
+    folded = fold_batchnorm(variables)
+    pre = make_staged_preprocessor("", L, False)
+    weights = jnp.asarray(get_ensemble_weight(L, "weight"))
+
+    frames_out, gts = [], []
+    T = 24
+    clips = max(n_frames // T, 1)
+    for c in range(clips):
+        clip = rng.integers(0, 60, (T, H, W, 3)).astype(np.uint8)
+        xs = 6 + rng.integers(0, W - 16) + np.arange(T) * rng.choice([-2, -1, 1, 2])
+        ys = 6 + rng.integers(0, H - 16) + np.arange(T) * rng.choice([-1, 1])
+        xs = np.clip(xs, 2, W - 3)
+        ys = np.clip(ys, 2, H - 3)
+        for t in range(T):
+            clip[t, ys[t] - 1 : ys[t] + 2, xs[t] - 1 : xs[t] + 2] = 255
+        S = T - L + 1
+        x = pre(jnp.asarray(clip), None, jnp.arange(S))
+        probs = tracknet_fused_forward(folded, x, dtype=jnp.float32)
+        wins = jnp.moveaxis(probs, -1, 1)
+        ens = np.asarray(ensemble_offline(wins, weights))[:T]
+        frames_out.append(ens)
+        gts.append(np.stack([xs, ys], -1))
+    frames = np.concatenate(frames_out)[:n_frames]
+    gt = np.concatenate(gts)[:n_frames]
+    return frames, gt[:, 0], gt[:, 1]
+
+
+def model_corpus_from_ckpt(ckpt: str, data_dir: str, split: str, n_frames: int):
+    """Ensembled heatmaps from a TRAINED checkpoint over a dataset split
+    (the strongest corpus: real weights, real frame statistics)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from tracknetv3_tpu.data.dataset import FrameCache
+    from tracknetv3_tpu.evaluation.metrics import gt_center_from_label
+    from tracknetv3_tpu.models.fused_forward import (
+        fold_batchnorm,
+        tracknet_fused_forward,
+    )
+    from tracknetv3_tpu.ops.ensemble import ensemble_offline, get_ensemble_weight
+    from tracknetv3_tpu.ops.preprocess import gather_windows, window_channels
+    from tracknetv3_tpu.training.checkpoint import load_model_from_checkpoint
+    from tracknetv3_tpu.utils.io import (
+        get_rally_dirs,
+        label_csv_path,
+        parse_rally_dir,
+        read_label_csv,
+    )
+    from tracknetv3_tpu.config import HEIGHT, WIDTH
+
+    model, variables, pd = load_model_from_checkpoint(ckpt)
+    L = int(pd["seq_len"])
+    bg_mode = pd.get("bg_mode", "")
+    folded = fold_batchnorm(variables)
+    weights = jnp.asarray(get_ensemble_weight(L, "weight"))
+    cache = FrameCache(data_dir, bg_mode)
+
+    frames_out, cxs, cys = [], [], []
+    for rd in get_rally_dirs(data_dir, split):
+        rally_dir = os.path.join(data_dir, rd)
+        match_dir, rally_id = parse_rally_dir(rally_dir)
+        df = read_label_csv(label_csv_path(match_dir, rally_id))
+        ids = df["Frame"].to_numpy(np.int64)
+        rgb, diff, med = cache.load(rally_dir)
+        T = len(ids)
+        S = max(T - L + 1, 1)
+        rgb_d = jnp.asarray(rgb[ids]) if rgb is not None else None
+        diff_d = jnp.asarray(diff[ids][..., None]) if diff is not None else None
+        rgb_w = (
+            gather_windows(rgb_d.astype(jnp.float32), jnp.arange(S), L)
+            if rgb_d is not None else None
+        )
+        diff_w = (
+            gather_windows(diff_d.astype(jnp.float32), jnp.arange(S), L)
+            if diff_d is not None else None
+        )
+        med_j = jnp.asarray(med, jnp.float32) if med is not None else None
+        x = window_channels(rgb_w, diff_w, med_j, bg_mode)
+        probs = tracknet_fused_forward(folded, x, dtype=jnp.float32)
+        wins = jnp.moveaxis(probs, -1, 1)
+        ens = np.asarray(ensemble_offline(wins, weights))[:T]
+        with __import__("PIL.Image", fromlist=["Image"]).open(
+            os.path.join(rally_dir, "0.png")
+        ) as im:
+            w, h = im.size
+        cx_t, cy_t = gt_center_from_label(
+            df["X"].to_numpy(), df["Y"].to_numpy(), w / WIDTH, h / HEIGHT
+        )
+        frames_out.append(ens)
+        cxs.append(cx_t)
+        cys.append(cy_t)
+        if sum(f.shape[0] for f in frames_out) >= n_frames:
+            break
+    frames = np.concatenate(frames_out)[:n_frames]
+    return frames, np.concatenate(cxs)[:n_frames], np.concatenate(cys)[:n_frames]
+
+
+# ---------------------------- perturbed corpus ----------------------------
+
+
+def _disk(hm, cx, cy, r, val):
+    H, W = hm.shape
+    y, x = np.ogrid[:H, :W]
+    hm[(x - cx) ** 2 + (y - cy) ** 2 <= r * r] = val
+
+
+def perturbed_corpus(n_frames: int, seed: int = 1, H: int = 288, W: int = 512):
+    """Multi-blob stress cases where peak-blob and largest-bbox-blob can
+    genuinely diverge. GT is always the 'real ball' disk center."""
+    rng = np.random.default_rng(seed)
+    frames = np.zeros((n_frames, H, W), np.float32)
+    cx_t = np.zeros(n_frames, np.int64)
+    cy_t = np.zeros(n_frames, np.int64)
+    for i in range(n_frames):
+        hm = frames[i]
+        kind = i % 4
+        cx = int(rng.integers(20, W - 20))
+        cy = int(rng.integers(20, H - 20))
+        r = int(rng.integers(2, 5))
+        cx_t[i], cy_t[i] = cx, cy
+        if kind == 0:
+            # ghost blob: secondary echo, random size/intensity ordering
+            _disk(hm, cx, cy, r, float(rng.uniform(0.6, 0.99)))
+            gx = int(np.clip(cx + rng.integers(-60, 60), 10, W - 10))
+            gy = int(np.clip(cy + rng.integers(-40, 40), 10, H - 10))
+            _disk(hm, gx, gy, int(rng.integers(1, 7)),
+                  float(rng.uniform(0.51, 0.99)))
+        elif kind == 1:
+            # blob merge: two overlapping disks -> one component whose
+            # bbox center is BETWEEN the peaks
+            _disk(hm, cx, cy, r, float(rng.uniform(0.7, 0.99)))
+            _disk(hm, cx + r + 1, cy, r, float(rng.uniform(0.55, 0.69)))
+        elif kind == 2:
+            # blob split: one wide disk cut by a sub-threshold seam
+            _disk(hm, cx, cy, r + 3, float(rng.uniform(0.6, 0.9)))
+            hm[:, cx - 1 : cx] *= 0.4  # vertical seam below threshold
+        else:
+            # clean single blob (the common case - keeps the corpus's
+            # base rate honest)
+            _disk(hm, cx, cy, r, float(rng.uniform(0.55, 0.99)))
+        # near-threshold noise floor
+        hm += rng.uniform(0.0, 0.45, hm.shape).astype(np.float32) * (hm == 0)
+    return frames, cx_t, cy_t
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=4000,
+                    help="frames per corpus")
+    ap.add_argument("--model_frames", type=int, default=None,
+                    help="override frame count for the model corpus")
+    ap.add_argument("--ckpt", type=str, default="",
+                    help="trained TrackNet checkpoint for the model corpus")
+    ap.add_argument("--data_dir", type=str, default="",
+                    help="dataset dir (with --ckpt)")
+    ap.add_argument("--split", type=str, default="test")
+    ap.add_argument("--out", type=str, default="")
+    args = ap.parse_args()
+
+    report = {}
+    n_model = args.model_frames or min(args.frames, 1200)
+    if args.ckpt:
+        frames, cx_t, cy_t = model_corpus_from_ckpt(
+            args.ckpt, args.data_dir, args.split, n_model
+        )
+        report["model_corpus"] = dict(
+            source=f"trained ckpt {args.ckpt} on {args.split}",
+            **compare(frames, cx_t, cy_t),
+        )
+    else:
+        frames, cx_t, cy_t = model_corpus(n_model)
+        report["model_corpus"] = dict(
+            source="converted-weights U-Net on synthetic clips (64x128)",
+            **compare(frames, cx_t, cy_t),
+        )
+    print("model corpus:", json.dumps(report["model_corpus"]), file=sys.stderr)
+
+    frames, cx_t, cy_t = perturbed_corpus(args.frames)
+    report["perturbed_corpus"] = dict(
+        source="parametric ghost/merge/split blobs at 288x512",
+        **compare(frames, cx_t, cy_t),
+    )
+    print("perturbed corpus:", json.dumps(report["perturbed_corpus"]),
+          file=sys.stderr)
+
+    print(json.dumps(report, indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -101,6 +101,11 @@ class TrainConfig:
     # removes two full-resolution f32 round trips per conv layer at the
     # cost of one extra bf16 rounding of the activations.
     fast_bn: bool = False
+    # Validation decoding rule for best-checkpoint selection: False = the
+    # on-device peak-blob kernel (fast), True = the reference's exact
+    # largest-bbox-area contour rule on the host (reference test.py:52-79;
+    # fetches full heatmaps per val batch).
+    exact_decode: bool = False
 
     def to_param_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)

@@ -64,6 +64,7 @@ class RallyTestEngine:
         tolerance: float = 4.0,
         num_workers: int = 0,  # accepted for CLI parity; unused (no worker procs)
         mesh=None,  # jax.sharding.Mesh: shard window batches across chips
+        exact_decode: bool = False,  # host largest-bbox-area decode rule
     ):
         self.tracknet = tracknet
         self.inpaintnet = inpaintnet
@@ -74,6 +75,12 @@ class RallyTestEngine:
         self.batch_size = batch_size
         self.tolerance = tolerance
         self.mesh = mesh
+        # exact_decode: decode ensembled heatmaps on the HOST with the
+        # reference's exact largest-bbox-area contour rule (native CCL /
+        # scipy) instead of the on-device peak-blob kernel - bit-exact
+        # reference evaluation semantics at the cost of fetching full
+        # heatmaps per rally (reference: test.py:52-79).
+        self.exact_decode = exact_decode
         if mesh is not None:
             assert batch_size % mesh.size == 0, (
                 f"batch_size {batch_size} not divisible by mesh size {mesh.size}"
@@ -180,6 +187,95 @@ class RallyTestEngine:
         flat = wins.reshape((-1,) + wins.shape[2:])
         return self._pack_dec(decode_heatmaps(flat))
 
+    # ----------------------- exact-decode device steps -----------------------
+    # These return the ENSEMBLED HEATMAPS instead of decoding on device;
+    # the host then applies the reference's exact largest-bbox-area rule.
+
+    def _overlap_tail_step_frames(self):
+        key = ("overlap_frames",)
+        if key not in self._jit_cache:
+
+            def impl(rgb, diff, median, state, w0, n_valid):
+                B = self.batch_size
+                wins = self._forward_cached(rgb, diff, median, w0 + jnp.arange(B))
+                state, frames = ensemble_update_fn(
+                    state, wins.astype(jnp.float32), self._weights, n_valid
+                )
+                return state, frames
+
+            self._jit_cache[key] = jax.jit(impl, donate_argnums=(3,))
+        return self._jit_cache[key]
+
+    def _nonoverlap_step_frames(self):
+        key = ("nonoverlap_frames",)
+        if key not in self._jit_cache:
+
+            def impl(rgb, diff, median, starts):
+                wins = self._forward_cached(rgb, diff, median, starts)
+                return wins.reshape((-1,) + wins.shape[2:])
+
+            self._jit_cache[key] = jax.jit(impl)
+        return self._jit_cache[key]
+
+    def _concat_frames_fn(self, n_parts):
+        key = ("concat_frames", n_parts)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(
+                lambda parts: jnp.concatenate(parts, axis=0)
+            )
+        return self._jit_cache[key]
+
+    def _predict_rally_heatmap_exact(
+        self, rgb_dev, diff_dev, med_dev, T: int
+    ) -> Dict[str, np.ndarray]:
+        """Rally prediction under the exact reference decode rule: device
+        forward + ensemble, ONE heatmap fetch per rally, host CCL decode."""
+        from ..ops.detect import decode_heatmaps_host
+
+        L, B = self.seq_len, self.batch_size
+        if self.eval_mode == "nonoverlap":
+            step = self._nonoverlap_step_frames()
+            n_win = -(-T // L)
+            parts, nvs = [], []
+            for s in range(0, n_win, B):
+                starts = np.minimum(np.arange(s, s + B) * L, max(T - 1, 0))
+                parts.append(step(rgb_dev, diff_dev, med_dev,
+                                  jnp.asarray(starts, jnp.int32)))
+                nvs.append(min(B, n_win - s) * L)
+            frames = np.concatenate(
+                [np.asarray(p)[:nv] for p, nv in zip(parts, nvs)], axis=0
+            )[:T]
+        else:
+            S = max(T - L + 1, 1)
+            fshape = (rgb_dev if rgb_dev is not None else diff_dev).shape[1:3]
+            state = ensemble_init(L, fshape)
+            step = self._overlap_tail_step_frames()
+            parts, nvs = [], []
+            for w0 in range(0, S, B):
+                nv = min(B, S - w0)
+                state, frames_b = step(
+                    rgb_dev, diff_dev, med_dev, state, jnp.int32(w0), jnp.int32(nv)
+                )
+                parts.append(frames_b)
+                nvs.append(nv)
+            flush = self._jit_cache.setdefault(
+                ("flush_frames",), jax.jit(ensemble_flush)
+            )
+            tail_n = T - S
+            if tail_n > 0:
+                parts.append(flush(state))
+                nvs.append(tail_n)
+            frames = np.concatenate(
+                [np.asarray(p)[:nv] for p, nv in zip(parts, nvs)], axis=0
+            )[:T]
+        dec = decode_heatmaps_host(frames)
+        return {
+            "cx": dec["cx"].astype(np.int64),
+            "cy": dec["cy"].astype(np.int64),
+            "conf": dec["conf"],
+            "bbox": dec["bbox"].astype(np.int64),
+        }
+
     # --------------------------- TrackNet pipeline ---------------------------
 
     @staticmethod
@@ -269,6 +365,9 @@ class RallyTestEngine:
         if staged is None:
             staged = self._stage_rally(cache, rally_dir, frame_ids)
         rgb_dev, diff_dev, med_dev = staged
+
+        if self.exact_decode:
+            return self._predict_rally_heatmap_exact(rgb_dev, diff_dev, med_dev, T)
 
         if self.eval_mode == "nonoverlap":
             # packed (B*L, 8) chunks -> one device concat + ONE fetch

@@ -77,13 +77,43 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """device_put a pytree of host arrays with the batch axis sharded."""
+    """device_put a pytree of host arrays with the batch axis sharded.
+
+    Leaves that are already ``jax.Array`` are left untouched: they were
+    placed deliberately (e.g. ResidentHeatmapLoader's replicated or
+    frame-sharded split buffers, whose axis 0 is frames, not batch) -
+    re-putting them with the batch sharding would silently reshard GBs
+    every step.
+
+    Multi-host (``jax.process_count() > 1``): each process passes only
+    its LOCAL slice of the global batch (loaders shard per
+    ``process_index``, see HeatmapBatchLoader/CoordinateBatchLoader
+    ``process_id``/``process_count``); the global array is assembled with
+    ``jax.make_array_from_process_local_data`` - data rides each host's
+    own PCIe, never the DCN."""
     sh = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    if jax.process_count() > 1:
+
+        def put(x):
+            if isinstance(x, jax.Array):
+                return x
+            return jax.make_array_from_process_local_data(sh, np.asarray(x))
+
+        return jax.tree_util.tree_map(put, batch)
+    return jax.tree_util.tree_map(
+        lambda x: x if isinstance(x, jax.Array) else jax.device_put(x, sh), batch
+    )
 
 
 def replicate_tree(tree: Any, mesh: Mesh) -> Any:
     sh = replicated(mesh)
+    if jax.process_count() > 1:
+        # multi-controller: every process holds the full value; assemble
+        # the global replicated array from identical local copies
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            tree,
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 

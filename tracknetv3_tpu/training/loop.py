@@ -148,7 +148,10 @@ def train(config: TrainConfig, data_dir: str = "data", verbose_print=print) -> D
     np.random.seed(cfg.seed)
     rng = jax.random.PRNGKey(cfg.seed)
 
-    logger = ScalarLogger(os.path.join(cfg.save_dir, "logs"))
+    _pid0 = jax.process_index() == 0
+    logger = ScalarLogger(
+        os.path.join(cfg.save_dir, "logs" if _pid0 else f"logs_p{jax.process_index()}")
+    )
 
     # ----- data -----
     data_mode = "heatmap" if cfg.model_name == "TrackNet" else "coordinate"
@@ -158,11 +161,21 @@ def train(config: TrainConfig, data_dir: str = "data", verbose_print=print) -> D
     val_index = build_split_index(
         data_dir, "val", cfg.seq_len, cfg.seq_len, data_mode, debug=cfg.debug
     )
+    # The mesh is built BEFORE the loaders so resident split buffers can
+    # be placed on it (replicated or frame-sharded) during staging - the
+    # only phase with fast H2D on this runtime.
+    pid, pcount = jax.process_index(), jax.process_count()
+    multihost = pcount > 1
+    mesh = (
+        make_mesh(cfg.num_devices)
+        if ((cfg.num_devices or 0) > 1 or multihost)
+        else None
+    )
     use_resident = (
         cfg.resident_frames
         and cfg.model_name == "TrackNet"
         and cfg.frame_alpha <= 0
-        and (cfg.num_devices or 0) <= 1
+        and not multihost  # per-host shard staging not implemented
     )
     if cfg.model_name == "TrackNet":
         train_loader = val_loader = None
@@ -178,11 +191,20 @@ def train(config: TrainConfig, data_dir: str = "data", verbose_print=print) -> D
                     drop_last=True,
                     seed=cfg.seed,
                     data_dir=data_dir,
+                    mesh=mesh,
                 )
                 val_loader = ResidentHeatmapLoader(
-                    val_index, cfg.bg_mode, cfg.batch_size, data_dir=data_dir
+                    val_index, cfg.bg_mode, cfg.batch_size, data_dir=data_dir,
+                    mesh=mesh,
                 )
-                verbose_print("Resident frames: split staged to device memory")
+                verbose_print(
+                    "Resident frames: split staged to device memory"
+                    + (
+                        f" ({train_loader.frame_sharding} over {mesh.size} devices)"
+                        if mesh is not None
+                        else ""
+                    )
+                )
             except MemoryError as e:
                 verbose_print(f"resident_frames fallback: {e}")
                 train_loader = val_loader = None
@@ -197,13 +219,16 @@ def train(config: TrainConfig, data_dir: str = "data", verbose_print=print) -> D
                 data_dir=data_dir,
                 frame_alpha=cfg.frame_alpha,
                 segment_windows=cfg.segment_windows,
+                process_id=pid,
+                process_count=pcount,
             )
             val_loader = HeatmapBatchLoader(
                 val_index, cfg.bg_mode, cfg.batch_size, data_dir=data_dir
             )
     else:
         train_loader = CoordinateBatchLoader(
-            train_index, cfg.batch_size, shuffle=True, drop_last=True, seed=cfg.seed
+            train_index, cfg.batch_size, shuffle=True, drop_last=True, seed=cfg.seed,
+            process_id=pid, process_count=pcount,
         )
         val_loader = CoordinateBatchLoader(val_index, cfg.batch_size)
     if (cfg.num_devices or 0) <= 1:
@@ -234,14 +259,34 @@ def train(config: TrainConfig, data_dir: str = "data", verbose_print=print) -> D
             tx, cfg.bg_mode, cfg.alpha, fast_bn=cfg.fast_bn
         )
         eval_step = make_tracknet_eval_step(cfg.bg_mode)
-        eval_fn = lambda s: eval_tracknet(s, eval_step, val_loader, cfg.tolerance)  # noqa: E731
+        eval_fn = lambda s: eval_tracknet(  # noqa: E731
+            s, eval_step, val_loader, cfg.tolerance,
+            exact_decode=getattr(cfg, "exact_decode", False),
+        )
     else:
         train_step = make_inpaintnet_train_step(model, tx, cfg.mask_ratio)
         eval_step = make_inpaintnet_eval_step(model)
         eval_fn = lambda s: eval_inpaintnet(s, eval_step, val_loader, cfg.tolerance)  # noqa: E731
 
+    if multihost:
+        # Validation under multi-host: every process evaluates the full
+        # (replicated) val set against its LOCAL replica of the state -
+        # identical metrics everywhere, no cross-host fetches of sharded
+        # arrays (the eval loop's np.asarray would fail on
+        # non-fully-addressable global arrays).
+        _eval_inner = eval_fn
+
+        def _local_state(s: TrainState) -> TrainState:
+            take = lambda x: jax.device_put(  # noqa: E731
+                np.asarray(x.addressable_shards[0].data)
+                if isinstance(x, jax.Array)
+                else x
+            )
+            return TrainState(*jax.tree_util.tree_map(take, tuple(s)))
+
+        eval_fn = lambda s: _eval_inner(_local_state(s))  # noqa: E731
+
     # ----- mesh / resume state -----
-    mesh = make_mesh(cfg.num_devices) if (cfg.num_devices or 0) > 1 else None
     if mesh is not None:
         assert cfg.batch_size % mesh.size == 0, (
             f"batch_size {cfg.batch_size} not divisible by mesh size {mesh.size}"
@@ -333,9 +378,15 @@ def train(config: TrainConfig, data_dir: str = "data", verbose_print=print) -> D
                 visualize_step(state, batch, step_i)
         # One stacked fetch: per-scalar float(l) would pay the ~35 ms relay
         # round trip per training step at epoch end (seconds per epoch).
-        train_loss = (
-            float(np.mean(np.asarray(jnp.stack(losses)))) if losses else 0.0
-        )
+        if losses:
+            stacked = jnp.stack(losses)
+            if multihost:
+                # replicated global scalars: read the local replica (the
+                # global array is not fully addressable per process)
+                stacked = stacked.addressable_shards[0].data
+            train_loss = float(np.mean(np.asarray(stacked)))
+        else:
+            train_loss = 0.0
 
         val_loss, val_res = eval_fn(state)
         write_to_tb(cfg.model_name, logger, (train_loss, val_loss), val_res, epoch)
@@ -346,27 +397,42 @@ def train(config: TrainConfig, data_dir: str = "data", verbose_print=print) -> D
             else val_res["inpaint"]["accuracy"]
         )
         model_vars = {"params": state.params, "batch_stats": state.batch_stats}
+        opt_vars = state.opt_state
+        step_arr = state.step
+        if multihost:
+            # checkpoints carry host arrays; replicated global leaves are
+            # not fully addressable, so read each local replica
+            local = lambda x: (  # noqa: E731
+                np.asarray(x.addressable_shards[0].data)
+                if isinstance(x, jax.Array)
+                else np.asarray(x)
+            )
+            model_vars = jax.tree_util.tree_map(local, model_vars)
+            opt_vars = jax.tree_util.tree_map(local, opt_vars)
+            step_arr = local(step_arr)
         common = dict(
             epoch=epoch,
             model=model_vars,
-            optimizer=state.opt_state,
+            optimizer=opt_vars,
             # Explicit LR-schedule position (optax schedules are driven by
             # the step count; resume restores TrainState.step from this).
             scheduler=dict(
                 lr_scheduler=cfg.lr_scheduler,
-                opt_step=int(np.asarray(state.step).reshape(-1)[0]),
+                opt_step=int(np.asarray(step_arr).reshape(-1)[0]),
             ),
             param_dict=param_dict,
         )
         if cur_val_acc >= max_val_acc:
             max_val_acc = cur_val_acc
-            save_checkpoint(
-                os.path.join(cfg.save_dir, f"{cfg.model_name}_best.pt"),
-                max_val_acc=max_val_acc,
-                async_write=True,
-                **common,
-            )
-        save_checkpoint(cur_path, max_val_acc=max_val_acc, async_write=True, **common)
+            if pid == 0:  # one writer under multi-host
+                save_checkpoint(
+                    os.path.join(cfg.save_dir, f"{cfg.model_name}_best.pt"),
+                    max_val_acc=max_val_acc,
+                    async_write=True,
+                    **common,
+                )
+        if pid == 0:
+            save_checkpoint(cur_path, max_val_acc=max_val_acc, async_write=True, **common)
 
         verbose_print(
             f"  train_loss={train_loss:.6f} val_loss={val_loss:.6f} "

@@ -36,6 +36,11 @@ def main():
                         help="stage ALL split frames to device memory once; each "
                         "step then ships only window indices (TrackNet, single "
                         "device; falls back if the split exceeds the HBM budget)")
+    parser.add_argument("--exact_decode", action="store_true", default=False,
+                        help="validation decodes heatmaps with the reference's "
+                        "exact largest-bbox-area contour rule on the host "
+                        "(best-checkpoint selection matches the reference on "
+                        "multi-blob frames; slower val eval)")
     parser.add_argument("--profile", type=str, default="",
                         help="capture a jax.profiler trace into this directory")
     parser.add_argument("--multihost", action="store_true", default=False,
