@@ -208,19 +208,25 @@ def model_corpus_from_ckpt(ckpt: str, data_dir: str, split: str, n_frames: int):
         S = max(T - L + 1, 1)
         rgb_d = jnp.asarray(rgb[ids]) if rgb is not None else None
         diff_d = jnp.asarray(diff[ids][..., None]) if diff is not None else None
-        rgb_w = (
-            gather_windows(rgb_d.astype(jnp.float32), jnp.arange(S), L)
-            if rgb_d is not None else None
-        )
-        diff_w = (
-            gather_windows(diff_d.astype(jnp.float32), jnp.arange(S), L)
-            if diff_d is not None else None
-        )
         med_j = jnp.asarray(med, jnp.float32) if med is not None else None
-        x = window_channels(rgb_w, diff_w, med_j, bg_mode)
-        probs = tracknet_fused_forward(folded, x, dtype=jnp.float32)
-        wins = jnp.moveaxis(probs, -1, 1)
-        ens = np.asarray(ensemble_offline(wins, weights))[:T]
+        # chunked forward: all-windows-at-once at 288x512 OOMs the chip
+        wins_np = []
+        CB = 32
+        for w0 in range(0, S, CB):
+            starts = jnp.arange(w0, min(w0 + CB, S))
+            rgb_w = (
+                gather_windows(rgb_d.astype(jnp.float32), starts, L)
+                if rgb_d is not None else None
+            )
+            diff_w = (
+                gather_windows(diff_d.astype(jnp.float32), starts, L)
+                if diff_d is not None else None
+            )
+            x = window_channels(rgb_w, diff_w, med_j, bg_mode)
+            probs = tracknet_fused_forward(folded, x, dtype=jnp.float32)
+            wins_np.append(np.asarray(jnp.moveaxis(probs, -1, 1)))
+        wins = np.concatenate(wins_np, axis=0)
+        ens = np.asarray(ensemble_offline(jnp.asarray(wins), weights))[:T]
         with __import__("PIL.Image", fromlist=["Image"]).open(
             os.path.join(rally_dir, "0.png")
         ) as im:
@@ -298,6 +304,10 @@ def main():
     ap.add_argument("--split", type=str, default="test")
     ap.add_argument("--out", type=str, default="")
     args = ap.parse_args()
+
+    from tracknetv3_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # reruns reload programs instead of recompiling
 
     report = {}
     n_model = args.model_frames or min(args.frames, 1200)
