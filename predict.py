@@ -44,8 +44,9 @@ def main():
                         "data-parallel mesh (default: single device)")
     args = parser.parse_args()
 
-    from tracknetv3_tpu.parallel.mesh import ensure_virtual_devices
+    from tracknetv3_tpu.parallel.mesh import apply_platform_override, ensure_virtual_devices
 
+    apply_platform_override()  # TRACKNETV3_TPU_PLATFORM=cpu forces XLA-CPU
     ensure_virtual_devices(args.num_devices)  # sandbox shim, no-op elsewhere
 
     from tracknetv3_tpu.utils.compile_cache import enable_persistent_cache

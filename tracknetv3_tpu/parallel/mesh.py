@@ -25,6 +25,23 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def apply_platform_override() -> None:
+    """Honor ``TRACKNETV3_TPU_PLATFORM`` (e.g. ``cpu``) for CLI runs.
+
+    The sandbox's sitecustomize imports jax and pins the axon TPU
+    platform programmatically, so the standard ``JAX_PLATFORMS`` env var
+    is silently ignored by the time a CLI runs — the only reliable
+    override is ``jax.config.update`` in-process. Lets users force CPU
+    execution (e.g. when the remote TPU compiler is degraded) without
+    touching code. No-op when the variable is unset.
+    """
+    import os
+
+    plat = os.environ.get("TRACKNETV3_TPU_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+
+
 def ensure_virtual_devices(num_devices: Optional[int]) -> None:
     """Sandbox shim: make an ``num_devices``-wide mesh runnable on the
     single-chip axon host by switching to a virtual CPU platform.
