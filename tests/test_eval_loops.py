@@ -1,0 +1,50 @@
+"""Validation eval-loop decode-rule selection (train.py --exact_decode).
+
+Builds a heatmap where the brightest blob is NOT the largest-bbox blob:
+the device peak-blob decoder and the reference's exact largest-bbox-area
+rule disagree, so the two eval modes must classify the frame differently
+— exact_decode=True follows the reference rule for best-checkpoint
+selection (VERDICT r2 weak item 1).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tracknetv3_tpu.evaluation.loops import eval_tracknet
+
+H, W, L = 32, 64, 2
+
+
+def _probs_and_batch():
+    """One batch of 1 sample x L=2 frames.
+
+    Frame 0: large dim blob (6x10 bbox, 0.7) centered at the GT +
+             small bright blob (2x2, 0.99) 30 px away.
+             exact rule -> large blob == GT -> TP;
+             peak rule  -> small blob, 30 px off -> FP1.
+    Frame 1: single clean blob at the GT -> TP under both rules.
+    """
+    probs = np.zeros((1, H, W, L), np.float32)
+    probs[0, 20:26, 40:50, 0] = 0.7   # large blob, center (45, 23)
+    probs[0, 4:6, 4:6, 0] = 0.99      # bright 2x2 blob, center (5, 5)
+    probs[0, 10:12, 10:12, 1] = 0.9   # clean blob, center (11, 11)
+    batch = {
+        "cxcy": np.array([[[45, 23], [11, 11]]], np.int32),  # (1, L, 2)
+        "id": np.array([[[0, 0], [0, 1]]], np.int32),
+    }
+    return probs, batch
+
+
+def test_exact_decode_follows_reference_rule():
+    probs, batch = _probs_and_batch()
+    eval_step = lambda state, b: (jnp.float32(0.0), jnp.asarray(probs))  # noqa: E731
+
+    _, res_exact = eval_tracknet(None, eval_step, [batch], exact_decode=True)
+    _, res_dev = eval_tracknet(None, eval_step, [batch], exact_decode=False)
+
+    # exact rule: both frames TP
+    assert res_exact["TP"] == 2 and res_exact["FP1"] == 0
+    assert res_exact["accuracy"] == 1.0
+    # device peak rule: frame 0 decodes the bright small blob -> FP1
+    assert res_dev["TP"] == 1 and res_dev["FP1"] == 1
+    assert res_dev["accuracy"] == 0.5
