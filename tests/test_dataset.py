@@ -314,9 +314,7 @@ def test_resident_loader_mesh_step_matches_pixel_shipping(tiny_data, frame_shard
     )
 
     mesh = make_mesh(8)
-    idx = build_split_index(tiny_data, "train", 4, 4, "heatmap", use_cache=False)
-    # batch_size 8 (divisible by the mesh); tiny_data has >= 8 windows at
-    # sliding_step 4? Use sliding_step 2 to guarantee enough windows.
+    # sliding_step 2 guarantees >= 8 windows for a full mesh-wide batch
     idx = build_split_index(tiny_data, "train", 4, 2, "heatmap", use_cache=False)
     std = HeatmapBatchLoader(idx, "concat", batch_size=8, data_dir=tiny_data)
     res = ResidentHeatmapLoader(

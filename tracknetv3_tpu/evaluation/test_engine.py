@@ -217,57 +217,76 @@ class RallyTestEngine:
             self._jit_cache[key] = jax.jit(impl)
         return self._jit_cache[key]
 
-    def _concat_frames_fn(self, n_parts):
-        key = ("concat_frames", n_parts)
+    def _concat_frames_fn(self, n_parts, with_tail: bool):
+        """Fused (flush +) concat of per-chunk heatmap stacks: ONE device
+        program + ONE fetch per rally. Keyed by the power-of-two-padded
+        part count (per-rally counts would compile one program per
+        distinct rally length on the minutes-slow remote compiler)."""
+        key = ("concat_frames", n_parts, with_tail)
         if key not in self._jit_cache:
-            self._jit_cache[key] = jax.jit(
-                lambda parts: jnp.concatenate(parts, axis=0)
-            )
+
+            def impl(parts, state):
+                body = jnp.concatenate(parts, axis=0)
+                if with_tail:
+                    return jnp.concatenate([body, ensemble_flush(state)], axis=0)
+                return body
+
+            self._jit_cache[key] = jax.jit(impl, donate_argnums=(1,))
         return self._jit_cache[key]
+
+    @staticmethod
+    def _pad_pow2(parts):
+        n_pad = 1 << max(len(parts) - 1, 0).bit_length()
+        return parts + [parts[-1]] * (n_pad - len(parts)), n_pad
 
     def _predict_rally_heatmap_exact(
         self, rgb_dev, diff_dev, med_dev, T: int
     ) -> Dict[str, np.ndarray]:
         """Rally prediction under the exact reference decode rule: device
-        forward + ensemble, ONE heatmap fetch per rally, host CCL decode."""
+        forward + ensemble, ONE heatmap fetch per rally, host CCL decode.
+
+        Heatmap rows (not packed decodes) cross the link here - that is
+        the cost of host-rule decoding - but still as a single device-side
+        concat + one fetch, not one RPC per chunk."""
         from ..ops.detect import decode_heatmaps_host
 
         L, B = self.seq_len, self.batch_size
         if self.eval_mode == "nonoverlap":
             step = self._nonoverlap_step_frames()
             n_win = -(-T // L)
-            parts, nvs = [], []
+            parts = []
             for s in range(0, n_win, B):
                 starts = np.minimum(np.arange(s, s + B) * L, max(T - 1, 0))
                 parts.append(step(rgb_dev, diff_dev, med_dev,
                                   jnp.asarray(starts, jnp.int32)))
-                nvs.append(min(B, n_win - s) * L)
-            frames = np.concatenate(
-                [np.asarray(p)[:nv] for p, nv in zip(parts, nvs)], axis=0
-            )[:T]
+            # all parts but the last are fully valid, so the first T rows
+            # of the padded concat are exactly the rally's frames
+            padded, n_pad = self._pad_pow2(parts)
+            concat = self._concat_frames_fn(n_pad, with_tail=False)
+            frames = np.asarray(concat(tuple(padded), None))[:T]
         else:
             S = max(T - L + 1, 1)
             fshape = (rgb_dev if rgb_dev is not None else diff_dev).shape[1:3]
             state = ensemble_init(L, fshape)
             step = self._overlap_tail_step_frames()
-            parts, nvs = [], []
+            parts = []
             for w0 in range(0, S, B):
                 nv = min(B, S - w0)
                 state, frames_b = step(
                     rgb_dev, diff_dev, med_dev, state, jnp.int32(w0), jnp.int32(nv)
                 )
                 parts.append(frames_b)
-                nvs.append(nv)
-            flush = self._jit_cache.setdefault(
-                ("flush_frames",), jax.jit(ensemble_flush)
-            )
             tail_n = T - S
-            if tail_n > 0:
-                parts.append(flush(state))
-                nvs.append(tail_n)
-            frames = np.concatenate(
-                [np.asarray(p)[:nv] for p, nv in zip(parts, nvs)], axis=0
-            )[:T]
+            padded, n_pad = self._pad_pow2(parts)
+            concat = self._concat_frames_fn(n_pad, with_tail=tail_n > 0)
+            full = np.asarray(concat(tuple(padded), state))
+            frames = (
+                np.concatenate(
+                    [full[:S], full[n_pad * B : n_pad * B + tail_n]], axis=0
+                )[:T]
+                if tail_n > 0
+                else full[:T]
+            )
         dec = decode_heatmaps_host(frames)
         return {
             "cx": dec["cx"].astype(np.int64),

@@ -166,6 +166,16 @@ def train(config: TrainConfig, data_dir: str = "data", verbose_print=print) -> D
     # only phase with fast H2D on this runtime.
     pid, pcount = jax.process_index(), jax.process_count()
     multihost = pcount > 1
+    if multihost and cfg.num_devices not in (None, len(jax.devices())):
+        # A narrower mesh would contain devices some processes cannot
+        # address, breaking make_array_from_process_local_data (and the
+        # loaders' per-process batch split). Multi-host always spans the
+        # full global device set.
+        raise ValueError(
+            f"--multihost uses all {len(jax.devices())} global devices; "
+            f"--num_devices {cfg.num_devices} is not supported "
+            "(drop the flag or set it to the global device count)"
+        )
     mesh = (
         make_mesh(cfg.num_devices)
         if ((cfg.num_devices or 0) > 1 or multihost)

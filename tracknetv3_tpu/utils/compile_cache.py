@@ -44,7 +44,7 @@ def enable_persistent_cache(cache_dir: Optional[str] = None) -> Optional[str]:
     the cache is an optimization, never a correctness dependency.
     """
     env = os.environ.get("TRACKNETV3_TPU_CACHE_DIR")
-    if env is not None and env.strip().lower() in _DISABLED:
+    if env is not None and (env.strip() == "" or env.strip().lower() in _DISABLED):
         return None
     if cache_dir is None:
         cache_dir = env or default_cache_dir()
