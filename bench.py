@@ -110,7 +110,7 @@ def run_cold_child(args):
     from tracknetv3_tpu.inference import TrackNetPredictor
     from tracknetv3_tpu.utils.compile_cache import enable_persistent_cache
 
-    enable_persistent_cache()
+    cache_dir = enable_persistent_cache()
     video = ensure_video("/tmp", args.frames)
     ckpt = get_checkpoint("/tmp", bg_mode=args.bg_mode)
     ckpt_in = (
@@ -119,7 +119,12 @@ def run_cold_child(args):
         else get_checkpoint("/tmp", model_name="InpaintNet", seq_len=16, bg_mode="")
     )
     predictor = TrackNetPredictor(
-        ckpt, ckpt_in, eval_mode=args.eval_mode, batch_size=args.batch_size
+        ckpt, ckpt_in, eval_mode=args.eval_mode, batch_size=args.batch_size,
+        # AOT program blobs: reloading the serialized staged-scan skips
+        # the ~minutes of Python tracing + lowering a fresh process pays
+        # on a slow host (the persistent executable cache only skips the
+        # XLA compile) - see inference._acquire_scan.
+        program_cache_dir=(os.path.join(cache_dir, "programs") if cache_dir else None),
     )
     timings = {}
     t0 = time.time()

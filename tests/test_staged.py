@@ -325,3 +325,35 @@ def test_run_staged_tiny_video(tmp_path, small_res):
     pred = p.run_staged(staged, img_scaler=(1.0, 1.0))
     assert pred["Frame"] == [0, 1]
     assert len(pred["X"]) == 2
+
+
+def test_program_cache_export_roundtrip(tmp_path, small_res):
+    """AOT program cache: a second predictor (fresh jit caches) must load
+    the serialized staged-scan blob and produce identical predictions
+    without retracing."""
+    pdir = str(tmp_path / "programs")
+    p1 = _make_predictor(tmp_path, bg_mode="concat")
+    p1.program_cache_dir = pdir
+    rng = np.random.default_rng(31)
+    buf = rng.integers(0, 255, (17, H, W, 3), np.uint8)
+    staged1 = _staged_from_buf(p1, buf)
+    pred1 = p1.run_staged(staged1, img_scaler=(1.0, 1.0))
+    import os
+
+    blobs = [f for f in os.listdir(pdir) if f.endswith(".jaxexp")]
+    assert len(blobs) == 1, blobs
+
+    p2 = inf.TrackNetPredictor(
+        str(tmp_path / "tn_concat.pt"), eval_mode="weight", batch_size=4,
+        input_hw=(H, W), program_cache_dir=pdir,
+    )
+    staged2 = _staged_from_buf(p2, buf)
+    pred2 = p2.run_staged(staged2, img_scaler=(1.0, 1.0))
+    assert pred1 == pred2
+    # the loaded callable is the deserialized export, not a fresh trace
+    assert ("exported", False, 17) in p2._staged_steps
+    # a different video length is a different program (keyed by T)
+    buf2 = rng.integers(0, 255, (13, H, W, 3), np.uint8)
+    pred3 = p2.run_staged(_staged_from_buf(p2, buf2), img_scaler=(1.0, 1.0))
+    assert len(pred3["Frame"]) == 13
+    assert len([f for f in os.listdir(pdir) if f.endswith(".jaxexp")]) == 2

@@ -77,6 +77,7 @@ class TrackNetPredictor:
         compute_dtype=None,
         native_decode: bool = True,
         input_hw: Optional[Tuple[int, int]] = None,
+        program_cache_dir: Optional[str] = None,
     ):
         # Model input resolution is a *predictor parameter* (default: the
         # production 288x512 from config). Tests and the multichip dryrun
@@ -128,6 +129,23 @@ class TrackNetPredictor:
         self._nonoverlap_step_resident = jax.jit(self._nonoverlap_step_resident_impl)
         self._nonoverlap_step_preresized = jax.jit(self._nonoverlap_step_preresized_impl)
         self._staged_steps: Dict[Tuple[bool, str], object] = {}
+        # AOT program cache (jax.export): on this class of host the
+        # dominant cold-start cost is not XLA compilation (the persistent
+        # executable cache covers that) but Python TRACING + MLIR lowering
+        # of the big staged-scan program (~4 min for a 480-frame video on
+        # a 1-core host). Serialized Exported blobs skip retracing
+        # entirely. Opt-in (env TRACKNETV3_TPU_PROGRAM_CACHE or ctor arg)
+        # because blobs embed the model weights and are keyed by
+        # (checkpoint bytes, shapes, jax version, backend) - NOT by this
+        # package's source, so delete the dir after upgrading the package.
+        import os as _os
+
+        self.program_cache_dir = (
+            program_cache_dir
+            if program_cache_dir is not None
+            else _os.environ.get("TRACKNETV3_TPU_PROGRAM_CACHE") or None
+        )
+        self._ckpt_paths = (tracknet_file, inpaintnet_file or "")
 
     # ----------------------------- device steps -----------------------------
 
@@ -601,6 +619,79 @@ class TrackNetPredictor:
             state = ensemble_init(L, (self.h, self.w))
             scan.lower(buf, med, state).compile()
 
+    # ------------------------ AOT program cache -----------------------------
+
+    def _program_cache_path(self, kind: str, bgr: bool, T: int) -> str:
+        """Blob path keyed by everything that shapes the traced program:
+        checkpoint bytes (weights are embedded constants in the export),
+        video length/batch/eval-mode/dtype/resolution, jax version and
+        backend (Exported records the lowering platform)."""
+        import hashlib
+        import os
+
+        h = hashlib.sha256()
+        for p in self._ckpt_paths:
+            if p:
+                with open(p, "rb") as f:
+                    h.update(f.read())
+        h.update(
+            f"{kind}|{bgr}|{T}|{self.batch_size}|{self.seq_len}|{self.eval_mode}|"
+            f"{self.compute_dtype}|{self.h}x{self.w}|{jax.__version__}|"
+            f"{jax.default_backend()}".encode()
+        )
+        return os.path.join(
+            self.program_cache_dir, f"staged_{kind}_{h.hexdigest()[:24]}.jaxexp"
+        )
+
+    def _acquire_scan(self, staged: StagedVideo, mesh=None):
+        """The staged-scan callable, via (in order): in-memory cache,
+        deserialized jax.export blob (skips minutes of host retracing),
+        or a fresh trace (which then writes the blob for next time).
+        Sharded (mesh) programs always trace fresh."""
+        import os
+
+        fn = self._staged_scan_fn(staged.bgr, mesh)
+        if mesh is not None or not self.program_cache_dir:
+            return fn
+        key = ("exported", staged.bgr, staged.T)
+        if key in self._staged_steps:
+            return self._staged_steps[key]
+        from jax import export as jax_export
+
+        path = self._program_cache_path("scan", staged.bgr, staged.T)
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                exported = jax_export.deserialize(f.read())
+            call = exported.call
+            self._staged_steps[key] = call
+            return call
+        # miss: trace once, persist, and EXECUTE VIA THE EXPORT from now
+        # on - the exported module's HLO differs from the plain jit's, so
+        # running the jit here would leave the cold process's
+        # exported-call executable UNCACHED (it would pay a full remote
+        # compile on first use, defeating the cache).
+        try:
+            med = self._staged_median_arg(staged)
+            state = ensemble_init(self.seq_len, (self.h, self.w))
+            sds = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                (staged.buf, med, state),
+            )
+            exported = jax_export.export(fn)(*sds)
+            os.makedirs(self.program_cache_dir, exist_ok=True)
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(exported.serialize())
+            os.replace(tmp, path)
+            call = exported.call
+            self._staged_steps[key] = call
+            return call
+        except Exception as e:  # noqa: BLE001 - cache is optional
+            import sys
+
+            print(f"warning: program export failed: {e}", file=sys.stderr)
+        return fn
+
     def _staged_median_arg(self, staged: StagedVideo):
         return (
             staged.median
@@ -645,7 +736,7 @@ class TrackNetPredictor:
                 results.append((packed, min(B, n_win - w0) * L))
         else:
             # Whole video in ONE dispatch + ONE fetch (see _staged_scan_fn).
-            scan = self._staged_scan_fn(staged.bgr, mesh)
+            scan = self._acquire_scan(staged, mesh)
             state = ensemble_init(L, (self.h, self.w))
             arr = np.asarray(scan(buf, med, state))[:T]
             return self._rows_to_pred(arr, img_scaler)

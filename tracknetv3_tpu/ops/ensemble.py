@@ -63,6 +63,16 @@ class EnsembleState(NamedTuple):
     next_frame: jax.Array  # scalar int32
 
 
+try:
+    # Allow EnsembleState to appear in jax.export-serialized program
+    # signatures (the AOT program cache, inference._acquire_scan).
+    jax.export.register_namedtuple_serialization(
+        EnsembleState, serialized_name="tracknetv3_tpu.EnsembleState"
+    )
+except (AttributeError, ValueError):  # older jax / double registration
+    pass
+
+
 def ensemble_init(seq_len: int, frame_shape: Tuple[int, ...]) -> EnsembleState:
     shape = (seq_len - 1, seq_len) + tuple(frame_shape)
     return EnsembleState(
