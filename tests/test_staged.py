@@ -357,3 +357,53 @@ def test_program_cache_export_roundtrip(tmp_path, small_res):
     pred3 = p2.run_staged(_staged_from_buf(p2, buf2), img_scaler=(1.0, 1.0))
     assert len(pred3["Frame"]) == 13
     assert len([f for f in os.listdir(pdir) if f.endswith(".jaxexp")]) == 2
+
+
+def test_warmup_compiles_the_exported_program(tmp_path, small_res):
+    """With the AOT program cache enabled, warmup_staged must warm the SAME
+    callable run_staged executes (the jit-wrapped exported call), not the
+    plain jit - otherwise the first timed run pays a second full compile."""
+    import os
+
+    pdir = str(tmp_path / "programs")
+    p = _make_predictor(tmp_path, bg_mode="concat")
+    p.program_cache_dir = pdir
+    rng = np.random.default_rng(7)
+    buf = rng.integers(0, 255, (11, H, W, 3), np.uint8)
+    staged = _staged_from_buf(p, buf)
+    p.warmup_staged(staged)
+    # warmup routed through _acquire_scan: the exported program is cached
+    # in memory AND persisted, before any run_staged call
+    assert ("exported", False, 11) in p._staged_steps
+    assert len([f for f in os.listdir(pdir) if f.endswith(".jaxexp")]) == 1
+    warmed = p._staged_steps[("exported", False, 11)]
+    pred = p.run_staged(staged, img_scaler=(1.0, 1.0))
+    # run_staged dispatched the very object warmup compiled
+    assert p._staged_steps[("exported", False, 11)] is warmed
+    assert len(pred["Frame"]) == 11
+    # checkpoint bytes were hashed exactly once for the cache-path key
+    assert p._ckpt_digest_cache is not None
+    assert p._ckpt_digest() is p._ckpt_digest_cache
+
+
+def test_program_export_failure_memoized(tmp_path, small_res, monkeypatch):
+    """If jax.export fails, the plain jit is memoized so later runs of the
+    same video length do not re-hash checkpoints or re-attempt the export."""
+    from jax import export as jax_export
+
+    calls = {"n": 0}
+
+    def boom(*a, **k):
+        calls["n"] += 1
+        raise RuntimeError("export unavailable")
+
+    monkeypatch.setattr(jax_export, "export", boom)
+    p = _make_predictor(tmp_path, bg_mode="concat")
+    p.program_cache_dir = str(tmp_path / "programs")
+    rng = np.random.default_rng(9)
+    buf = rng.integers(0, 255, (11, H, W, 3), np.uint8)
+    staged = _staged_from_buf(p, buf)
+    pred1 = p.run_staged(staged, img_scaler=(1.0, 1.0))
+    pred2 = p.run_staged(_staged_from_buf(p, buf), img_scaler=(1.0, 1.0))
+    assert calls["n"] == 1, "export retried despite memoized failure"
+    assert pred1 == pred2

@@ -430,8 +430,7 @@ class RallyTestEngine:
             # pad the pack list to a power-of-two count so the collect
             # program is shared across rally lengths (garbage rows are
             # sliced away below; the repeats cost only a tiny concat)
-            n_pad = 1 << max(len(packs) - 1, 0).bit_length()
-            packs_padded = packs + [packs[-1]] * (n_pad - len(packs))
+            packs_padded, n_pad = self._pad_pow2(packs)
             collect = self._overlap_collect_fn(n_pad)
             full = np.asarray(collect(state, tuple(packs_padded)))
             tail_n = T - S

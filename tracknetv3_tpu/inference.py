@@ -146,6 +146,7 @@ class TrackNetPredictor:
             else _os.environ.get("TRACKNETV3_TPU_PROGRAM_CACHE") or None
         )
         self._ckpt_paths = (tracknet_file, inpaintnet_file or "")
+        self._ckpt_digest_cache = None  # filled lazily by _ckpt_digest()
 
     # ----------------------------- device steps -----------------------------
 
@@ -615,11 +616,31 @@ class TrackNetPredictor:
             step = self._staged_step_nonoverlap(staged.bgr, mesh)
             step.lower(buf, med, jnp.int32(0)).compile()
         else:
-            scan = self._staged_scan_fn(staged.bgr, mesh)
+            # _acquire_scan, NOT _staged_scan_fn: when the AOT program
+            # cache is enabled run_staged executes the exported-call
+            # program, a different HLO module than the plain jit -
+            # warming the jit would leave the real program cold and push
+            # the minutes-long remote compile into the first timed run.
+            scan = self._acquire_scan(staged, mesh)
             state = ensemble_init(L, (self.h, self.w))
             scan.lower(buf, med, state).compile()
 
     # ------------------------ AOT program cache -----------------------------
+
+    def _ckpt_digest(self) -> bytes:
+        """SHA-256 over the checkpoint file bytes, computed once per
+        predictor (the paths are fixed at construction; re-hashing
+        hundreds of MB per cache lookup would cost seconds per video)."""
+        if self._ckpt_digest_cache is None:
+            import hashlib
+
+            h = hashlib.sha256()
+            for p in self._ckpt_paths:
+                if p:
+                    with open(p, "rb") as f:
+                        h.update(f.read())
+            self._ckpt_digest_cache = h.digest()
+        return self._ckpt_digest_cache
 
     def _program_cache_path(self, kind: str, bgr: bool, T: int) -> str:
         """Blob path keyed by everything that shapes the traced program:
@@ -630,10 +651,7 @@ class TrackNetPredictor:
         import os
 
         h = hashlib.sha256()
-        for p in self._ckpt_paths:
-            if p:
-                with open(p, "rb") as f:
-                    h.update(f.read())
+        h.update(self._ckpt_digest())
         h.update(
             f"{kind}|{bgr}|{T}|{self.batch_size}|{self.seq_len}|{self.eval_mode}|"
             f"{self.compute_dtype}|{self.h}x{self.w}|{jax.__version__}|"
@@ -662,7 +680,11 @@ class TrackNetPredictor:
         if os.path.exists(path):
             with open(path, "rb") as f:
                 exported = jax_export.deserialize(f.read())
-            call = exported.call
+            # jit-wrap the exported call so warmup_staged can AOT-compile
+            # (.lower().compile()) the SAME callable run_staged dispatches
+            # - a bare exported.call has no lower() and would compile a
+            # second executable distinct from any jit-warmed one.
+            call = jax.jit(exported.call)
             self._staged_steps[key] = call
             return call
         # miss: trace once, persist, and EXECUTE VIA THE EXPORT from now
@@ -683,13 +705,16 @@ class TrackNetPredictor:
             with open(tmp, "wb") as f:
                 f.write(exported.serialize())
             os.replace(tmp, path)
-            call = exported.call
+            call = jax.jit(exported.call)
             self._staged_steps[key] = call
             return call
         except Exception as e:  # noqa: BLE001 - cache is optional
             import sys
 
             print(f"warning: program export failed: {e}", file=sys.stderr)
+            # memoize the failure: without this every same-length video
+            # re-hashes checkpoints and re-attempts the failing export
+            self._staged_steps[key] = fn
         return fn
 
     def _staged_median_arg(self, staged: StagedVideo):

@@ -296,13 +296,11 @@ def train(config: TrainConfig, data_dir: str = "data", verbose_print=print) -> D
 
         eval_fn = lambda s: _eval_inner(_local_state(s))  # noqa: E731
 
-    # ----- mesh / resume state -----
-    if mesh is not None:
-        assert cfg.batch_size % mesh.size == 0, (
-            f"batch_size {cfg.batch_size} not divisible by mesh size {mesh.size}"
-        )
-        state = TrainState(*replicate_tree(tuple(state), mesh))
-
+    # ----- resume / mesh state -----
+    # Restore BEFORE replicating: the ckpt holds host numpy leaves, and
+    # rebuilding TrainState from them after replicate_tree would hand the
+    # cross-process mesh program non-global arrays (multihost resume would
+    # fail at dispatch or silently break the replicated-global invariant).
     start_epoch, max_val_acc = 0, 0.0
     if ckpt is not None:
         from .checkpoint import unflatten_optimizer_state
@@ -322,6 +320,12 @@ def train(config: TrainConfig, data_dir: str = "data", verbose_print=print) -> D
         start_epoch = ckpt["epoch"] + 1
         max_val_acc = ckpt["max_val_acc"]
         verbose_print(f"Resume training from epoch {start_epoch}...")
+
+    if mesh is not None:
+        assert cfg.batch_size % mesh.size == 0, (
+            f"batch_size {cfg.batch_size} not divisible by mesh size {mesh.size}"
+        )
+        state = TrainState(*replicate_tree(tuple(state), mesh))
 
     display_step = 4 if cfg.debug else 100  # reference: train.py:213
 
