@@ -323,6 +323,91 @@ def run_train_bench(args):
     )
 
 
+def run_serve_bench(args):
+    """--serve: multi-video batch serving throughput (predict_videos flow).
+
+    Three videos of DIFFERENT lengths are staged as one wave (all decode+
+    upload before any program executes - the fast H2D window), bucket-
+    padded so they share ONE compiled scan program (inference.
+    _staged_scan_bucketed_fn: repeat-last-frame padding + traced real-
+    window count; pad chunks are skipped by lax.cond, so padding adds no
+    forward FLOPs beyond the partial-chunk waste the exact path already
+    pays). Reports aggregate end-to-end FPS over the wave. The reference
+    serves one video per process (predict.py:71-312) - its steady state
+    is the 25.11 FPS single-video number with a fresh model load each
+    time.
+    """
+    from tracknetv3_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    from tracknetv3_tpu.inference import TrackNetPredictor
+
+    lengths = [int(v) for v in args.serve_lengths.split(",")]
+    videos = [ensure_video("/tmp", n) for n in lengths]
+    ckpt = get_checkpoint("/tmp", bg_mode=args.bg_mode)
+    ckpt_in = (
+        None
+        if args.tracknet_only
+        else get_checkpoint("/tmp", model_name="InpaintNet", seq_len=16, bg_mode="")
+    )
+    predictor = TrackNetPredictor(
+        ckpt, ckpt_in, eval_mode=args.eval_mode, batch_size=args.batch_size
+    )
+    Q = args.bucket_quantum
+
+    # --- wave staging: every video uploaded before any program executes ---
+    t0 = time.time()
+    staged = [predictor.stage_video(v, bucket_frames=Q) for v in videos]
+    t_stage = time.time() - t0
+    buckets = sorted({int(s.buf.shape[0]) for s in staged})
+
+    # --- warm-up: ONE scan compile serves every video in the bucket; the
+    # per-video warm run also compiles the small per-length InpaintNet
+    # window programs (they bucket by window count) ---
+    t0 = time.time()
+    predictor.warmup_staged(staged[0])
+    for s in staged:
+        pred = predictor.run_staged(s)
+        if predictor.inpaintnet is not None:
+            predictor.inpaint_trajectory(pred, s.src_wh)
+    t_compile = time.time() - t0
+
+    # --- timed passes: the whole wave, median of N ---
+    times = []
+    for _ in range(max(args.passes, 1)):
+        t0 = time.time()
+        for s in staged:
+            pred = predictor.run_staged(s)
+            if predictor.inpaintnet is not None:
+                pred = predictor.inpaint_trajectory(pred, s.src_wh)
+        times.append(time.time() - t0)
+    t_run = statistics.median(times)
+
+    total = sum(s.T for s in staged)
+    fps = total / (t_stage + t_run)
+    print(
+        f"# serve wave: {len(videos)} videos x {lengths} frames "
+        f"(buckets {buckets}, quantum {Q}): stage {t_stage:.2f}s, "
+        f"compile {t_compile:.1f}s (one shared program, excluded), "
+        f"run {t_run:.2f}s (passes: {['%.2f' % t for t in times]}) -> "
+        f"{fps:.1f} FPS aggregate e2e, "
+        f"{total / t_run:.1f} FPS compute-only",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"multi-video serving aggregate FPS "
+                f"({len(videos)} videos, shared bucketed program, 1 chip)",
+                "value": round(fps, 2),
+                "unit": "fps",
+                "vs_baseline": round(fps / BASELINE_FPS, 2),
+            }
+        )
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=480)
@@ -345,6 +430,13 @@ def main():
     ap.add_argument("--train_batch", type=int, default=24)
     ap.add_argument("--train_steps", type=int, default=20,
                     help="steps per timed pass in --train")
+    ap.add_argument("--serve", action="store_true",
+                    help="benchmark multi-video batch serving (wave staging "
+                    "+ one shared bucketed program; see predict_videos)")
+    ap.add_argument("--serve_lengths", type=str, default="300,420,480",
+                    help="comma-separated frame counts of the serve wave")
+    ap.add_argument("--bucket_quantum", type=int, default=480,
+                    help="frame-count bucket granularity for --serve")
     ap.add_argument("--cold_child", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument(
         "--tracknet_only",
@@ -362,6 +454,8 @@ def main():
         return run_cold(args)
     if args.train:
         return run_train_bench(args)
+    if args.serve:
+        return run_serve_bench(args)
 
     from tracknetv3_tpu.utils.compile_cache import enable_persistent_cache
 

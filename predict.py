@@ -6,7 +6,22 @@ import argparse
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--video_file", type=str, required=True, help="file path of the video")
+    parser.add_argument("--video_file", type=str, default="", help="file path of the video")
+    parser.add_argument(
+        "--video_dir",
+        type=str,
+        default="",
+        help="batch serving: predict every video in this directory with one "
+        "model load; buffers are bucket-padded so videos of different "
+        "lengths share compiled programs (see inference.predict_videos)",
+    )
+    parser.add_argument(
+        "--bucket_quantum",
+        type=int,
+        default=256,
+        help="frame-count bucket granularity for --video_dir (larger = fewer "
+        "compiled programs, more padded-chunk waste per video)",
+    )
     parser.add_argument("--tracknet_file", type=str, required=True, help="TrackNet checkpoint path")
     parser.add_argument("--inpaintnet_file", type=str, default="", help="InpaintNet checkpoint path")
     parser.add_argument("--batch_size", type=int, default=16, help="batch size for inference")
@@ -43,6 +58,14 @@ def main():
                         help="shard the staged path's window batches over a "
                         "data-parallel mesh (default: single device)")
     args = parser.parse_args()
+    if bool(args.video_file) == bool(args.video_dir):
+        parser.error("exactly one of --video_file / --video_dir is required")
+    if args.video_dir and (args.large_video or args.device_resize):
+        parser.error(
+            "--video_dir uses the staged serving path; per-video "
+            "--large_video/--device_resize are not supported (oversized "
+            "videos fall back to streaming automatically)"
+        )
 
     from tracknetv3_tpu.parallel.mesh import apply_platform_override, ensure_virtual_devices
 
@@ -61,7 +84,36 @@ def main():
 
 
 def _run_predict(args):
-    from tracknetv3_tpu.inference import predict_video
+    from tracknetv3_tpu.inference import predict_video, predict_videos
+
+    if args.video_dir:
+        import glob
+        import os
+
+        exts = (".mp4", ".avi", ".mov", ".mkv")
+        files = sorted(
+            f
+            for f in glob.glob(os.path.join(args.video_dir, "*"))
+            if f.lower().endswith(exts)
+        )
+        if not files:
+            raise FileNotFoundError(f"no videos in {args.video_dir}")
+        print(f"Batch predicting {len(files)} videos from {args.video_dir}")
+        predict_videos(
+            files,
+            tracknet_file=args.tracknet_file,
+            inpaintnet_file=args.inpaintnet_file,
+            eval_mode=args.eval_mode,
+            batch_size=args.batch_size,
+            max_sample_num=args.max_sample_num,
+            save_dir=args.save_dir,
+            output_video=args.output_video,
+            traj_len=args.traj_len,
+            native_decode=not args.cv2_decode,
+            num_devices=args.num_devices,
+            bucket_quantum=args.bucket_quantum,
+        )
+        return
 
     predict_video(
         video_file=args.video_file,

@@ -222,6 +222,24 @@ def test_run_staged_sharded_matches_single_device(tmp_path, small_res):
     assert pred_single == pred_sharded
 
 
+def test_run_staged_sharded_bucketed(tmp_path, small_res):
+    """Bucket-padded buffer + data-mesh sharding compose: the sharded
+    bucketed scan (shard constraints inside lax.cond inside lax.scan) must
+    match the single-device exact-length run."""
+    from tracknetv3_tpu.parallel.mesh import make_mesh
+
+    p = _make_predictor(tmp_path, bg_mode="concat", batch_size=8)
+    rng = np.random.default_rng(15)
+    buf = jnp.asarray(rng.integers(0, 255, (19, H, W, 3), np.uint8))
+    exact = p.finalize_staged([buf], bgr=False, src_wh=(W, H))
+    bucketed = p.finalize_staged([buf], bgr=False, src_wh=(W, H),
+                                 bucket_frames=32)
+    pred_single = p.run_staged(exact, img_scaler=(1.0, 1.0))
+    pred_sharded = p.run_staged(bucketed, img_scaler=(1.0, 1.0),
+                                mesh=make_mesh(8))
+    assert pred_single == pred_sharded
+
+
 def test_run_staged_sharded_nonoverlap(tmp_path, small_res):
     from tracknetv3_tpu.parallel.mesh import make_mesh
 
@@ -234,6 +252,58 @@ def test_run_staged_sharded_nonoverlap(tmp_path, small_res):
     pred_single = p.run_staged(staged, img_scaler=(1.0, 1.0))
     pred_sharded = p.run_staged(staged, img_scaler=(1.0, 1.0), mesh=make_mesh(8))
     assert pred_single == pred_sharded
+
+
+def _write_clip(path, T, seed, sh=2 * H, sw=2 * W):
+    rng = np.random.default_rng(seed)
+    base = np.zeros((sh, sw, 3), np.uint8)
+    base[:, :, 1] = np.linspace(30, 200, sw, dtype=np.uint8)[None, :]
+    frames = np.repeat(base[None], T, axis=0)
+    for t in range(T):
+        y, x = 8 + (t % 10), 16 + 2 * (t % 20)
+        frames[t, y : y + 4, x : x + 4] = 255
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30, (sw, sh))
+    for f in frames:
+        vw.write(f[..., ::-1])
+    vw.release()
+
+
+def test_predict_videos_batch_matches_single(tmp_path, small_res):
+    """Batch serving flow (predict_videos): per-video results must equal the
+    single-video staged path, CSVs written per video, and the two lengths
+    must share ONE bucketed scan program via bucket padding."""
+    import os
+
+    from tracknetv3_tpu.inference import predict_videos
+
+    p = _make_predictor(tmp_path, bg_mode="concat")  # writes tn_concat.pt
+    p.native_decode = False
+    clips = []
+    for i, T in enumerate((10, 17)):
+        path = str(tmp_path / f"clip_batch{i}.mp4")
+        _write_clip(path, T, seed=40 + i)
+        clips.append(path)
+
+    expected = {f: p.run_staged(p.stage_video(f)) for f in clips}
+
+    out = str(tmp_path / "serve_out")
+    results = predict_videos(
+        clips,
+        tracknet_file=str(tmp_path / "tn_concat.pt"),
+        native_decode=False,
+        bucket_quantum=24,
+        save_dir=out,
+        input_hw=(H, W),
+        batch_size=4,
+    )
+    for f in clips:
+        assert results[f] == expected[f], f
+        name = os.path.splitext(os.path.basename(f))[0]
+        csv = os.path.join(out, f"{name}_ball.csv")
+        assert os.path.exists(csv)
+        with open(csv) as fh:
+            n_rows = sum(1 for _ in fh) - 1
+        assert n_rows == len(expected[f]["Frame"])
 
 
 def test_finalize_staged_empty_raises(tmp_path, small_res):
@@ -351,12 +421,35 @@ def test_program_cache_export_roundtrip(tmp_path, small_res):
     pred2 = p2.run_staged(staged2, img_scaler=(1.0, 1.0))
     assert pred1 == pred2
     # the loaded callable is the deserialized export, not a fresh trace
-    assert ("exported", False, 17) in p2._staged_steps
+    assert ("exported", False, "scan", 17) in p2._staged_steps
     # a different video length is a different program (keyed by T)
     buf2 = rng.integers(0, 255, (13, H, W, 3), np.uint8)
     pred3 = p2.run_staged(_staged_from_buf(p2, buf2), img_scaler=(1.0, 1.0))
     assert len(pred3["Frame"]) == 13
     assert len([f for f in os.listdir(pdir) if f.endswith(".jaxexp")]) == 2
+
+
+@pytest.mark.parametrize("eval_mode", ["weight", "nonoverlap"])
+def test_run_staged_bucketed_matches_exact(tmp_path, small_res, eval_mode):
+    """Bucket-padded staging (repeat-last-frame pad + traced S_real) must
+    reproduce the exact-length path bit-for-bit for every video length in
+    the bucket - including T < L and partial final chunks - while all
+    lengths share one compiled scan program (the serving contract)."""
+    p = _make_predictor(tmp_path, bg_mode="concat", eval_mode=eval_mode,
+                        batch_size=4)
+    for T in (2, 5, 11, 17):
+        rng = np.random.default_rng(100 + T)
+        buf = jnp.asarray(rng.integers(0, 255, (T, H, W, 3), np.uint8))
+        exact = p.finalize_staged([buf], bgr=False, src_wh=(W, H))
+        bucketed = p.finalize_staged([buf], bgr=False, src_wh=(W, H),
+                                     bucket_frames=24)
+        assert int(bucketed.buf.shape[0]) == 24 and bucketed.T == T
+        pe = p.run_staged(exact, img_scaler=(1.0, 1.0))
+        pb = p.run_staged(bucketed, img_scaler=(1.0, 1.0))
+        assert pe == pb, (T, eval_mode)
+    if eval_mode == "weight":
+        # one bucketed scan callable served every length
+        assert (False, "scanb", None) in p._staged_steps
 
 
 def test_warmup_compiles_the_exported_program(tmp_path, small_res):
@@ -374,16 +467,42 @@ def test_warmup_compiles_the_exported_program(tmp_path, small_res):
     p.warmup_staged(staged)
     # warmup routed through _acquire_scan: the exported program is cached
     # in memory AND persisted, before any run_staged call
-    assert ("exported", False, 11) in p._staged_steps
+    assert ("exported", False, "scan", 11) in p._staged_steps
     assert len([f for f in os.listdir(pdir) if f.endswith(".jaxexp")]) == 1
-    warmed = p._staged_steps[("exported", False, 11)]
+    warmed = p._staged_steps[("exported", False, "scan", 11)]
     pred = p.run_staged(staged, img_scaler=(1.0, 1.0))
     # run_staged dispatched the very object warmup compiled
-    assert p._staged_steps[("exported", False, 11)] is warmed
+    assert p._staged_steps[("exported", False, "scan", 11)] is warmed
     assert len(pred["Frame"]) == 11
     # checkpoint bytes were hashed exactly once for the cache-path key
     assert p._ckpt_digest_cache is not None
     assert p._ckpt_digest() is p._ckpt_digest_cache
+
+
+def test_program_cache_bucketed_roundtrip(tmp_path, small_res):
+    """The AOT program cache exports bucketed scans keyed by BUFFER length
+    (kind 'scanb' + traced s_real arg): a fresh predictor must load the
+    blob and reproduce the predictions."""
+    import os
+
+    pdir = str(tmp_path / "programs")
+    p = _make_predictor(tmp_path, bg_mode="concat")
+    p.program_cache_dir = pdir
+    rng = np.random.default_rng(3)
+    buf = jnp.asarray(rng.integers(0, 255, (13, H, W, 3), np.uint8))
+    st = p.finalize_staged([buf], bgr=False, src_wh=(W, H), bucket_frames=16)
+    pred1 = p.run_staged(st, img_scaler=(1.0, 1.0))
+    blobs = [f for f in os.listdir(pdir) if f.endswith(".jaxexp")]
+    assert len(blobs) == 1 and "scanb" in blobs[0], blobs
+
+    p2 = inf.TrackNetPredictor(
+        str(tmp_path / "tn_concat.pt"), eval_mode="weight", batch_size=4,
+        input_hw=(H, W), program_cache_dir=pdir,
+    )
+    st2 = p2.finalize_staged([buf], bgr=False, src_wh=(W, H), bucket_frames=16)
+    pred2 = p2.run_staged(st2, img_scaler=(1.0, 1.0))
+    assert pred1 == pred2
+    assert ("exported", False, "scanb", 16) in p2._staged_steps
 
 
 def test_program_export_failure_memoized(tmp_path, small_res, monkeypatch):

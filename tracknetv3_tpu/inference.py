@@ -368,6 +368,74 @@ class TrackNetPredictor:
             self._staged_steps[key] = jax.jit(impl, donate_argnums=(2,))
         return self._staged_steps[key]
 
+    def _staged_scan_bucketed_fn(self, bgr: bool, mesh=None):
+        """Bucket-shared variant of _staged_scan_fn for serving many videos.
+
+        The plain scan bakes the video length T into the program (chunk
+        count, final slice), so every distinct T pays a fresh multi-minute
+        XLA compile. Here the buffer is padded to a bucket length (see
+        finalize_staged) and the REAL window count ``s_real`` is a traced
+        scalar: chunks beyond it run on pad frames with n_valid=0, which
+        the ensemble masks out (ensemble_update_fn's padded-window
+        contract), so ONE compiled program serves every video whose length
+        falls in the bucket. Returns the (n_chunks*B, 3) packed rows plus
+        the (L-1, 3) flush tail in one fetch; the caller assembles
+        rows[:S_real] + tail[:T_real-S_real] on host."""
+        key = (bgr, "scanb", mesh)
+        if key not in self._staged_steps:
+            pre = make_staged_preprocessor(
+                self.bg_mode, self.seq_len, bgr, out_dtype=self.compute_dtype
+            )
+            L, B = self.seq_len, self.batch_size
+
+            def impl(buf, med, state, s_real):
+                from .models.fused_forward import tracknet_fused_forward
+
+                T_b = buf.shape[0]
+                S_b = max(T_b - L + 1, 1)
+                n_chunks = -(-S_b // B)
+
+                def body(st, k):
+                    w0 = k * B
+
+                    def run(st):
+                        nv = jnp.clip(s_real - w0, 0, B)
+                        x = self._shard_windows(
+                            pre(buf, med, w0 + jnp.arange(B)), mesh
+                        )
+                        probs = tracknet_fused_forward(
+                            self._folded, x, dtype=self.compute_dtype
+                        )
+                        wp = jnp.moveaxis(probs, -1, 1).astype(jnp.float32)
+                        st, frames = ensemble_update_fn(
+                            st, wp, self._weights, nv
+                        )
+                        dec = decode_heatmaps(frames)
+                        return st, jnp.stack(
+                            [dec["cx"], dec["cy"], dec["vis"]], axis=-1
+                        ).astype(jnp.int32)
+
+                    def skip(st):
+                        # chunk entirely past the real windows: lax.cond is
+                        # real control flow on TPU, so pad chunks cost no
+                        # forward FLOPs (only the partial chunk pays waste)
+                        return st, jnp.zeros((B, 3), jnp.int32)
+
+                    return jax.lax.cond(w0 < s_real, run, skip, st)
+
+                state, packs = jax.lax.scan(
+                    body, state, jnp.arange(n_chunks, dtype=jnp.int32)
+                )
+                rows = packs.reshape(n_chunks * B, 3)
+                d = decode_heatmaps(ensemble_flush(state))
+                tail = jnp.stack(
+                    [d["cx"], d["cy"], d["vis"]], axis=-1
+                ).astype(jnp.int32)
+                return jnp.concatenate([rows, tail], axis=0)
+
+            self._staged_steps[key] = jax.jit(impl, donate_argnums=(2,))
+        return self._staged_steps[key]
+
     def _staged_step_nonoverlap(self, bgr: bool, mesh=None):
         key = (bgr, "nonoverlap", mesh)
         if key not in self._staged_steps:
@@ -520,6 +588,7 @@ class TrackNetPredictor:
         max_sample_num: Optional[int] = None,
         slab_frames: int = 120,
         timings: Optional[Dict[str, float]] = None,
+        bucket_frames: Optional[int] = None,
     ) -> StagedVideo:
         """Decode + host-resize + upload + finalize a video for run_staged.
 
@@ -534,7 +603,8 @@ class TrackNetPredictor:
 
         t0 = time.time()
         staged = self.finalize_staged(slabs, bgr=True, src_wh=src_wh,
-                                      max_sample_num=max_sample_num)
+                                      max_sample_num=max_sample_num,
+                                      bucket_frames=bucket_frames)
         if timings is not None:
             timings["upload_s"] = t_upload
             timings["finalize_s"] = time.time() - t0
@@ -564,10 +634,16 @@ class TrackNetPredictor:
             slabs, bgr=False, src_wh=(w, h), max_sample_num=max_sample_num
         )
 
-    def _finalize_fn(self, T: int, max_sample_num):
-        """Cached fused concat+median program (one dispatch per finalize;
-        every extra dispatch costs a relay round trip)."""
-        key = ("finalize", T, max_sample_num, bool(self.bg_mode))
+    def _finalize_fn(self, T: int, max_sample_num, bucket: Optional[int] = None):
+        """Cached fused concat+median(+bucket-pad) program (one dispatch per
+        finalize; every extra dispatch costs a relay round trip).
+
+        With ``bucket`` the buffer is padded to that length with repeats of
+        the last frame - the same contents window gathers produce by
+        clipping indices at T-1, so padded and unpadded buffers yield
+        bit-identical window inputs. The median is computed from the REAL
+        frames before padding (pad repeats would skew it)."""
+        key = ("finalize", T, max_sample_num, bool(self.bg_mode), bucket)
         if key not in self._staged_steps:
             with_median = bool(self.bg_mode)
 
@@ -579,20 +655,32 @@ class TrackNetPredictor:
                     if with_median
                     else None
                 )
+                if bucket is not None and bucket > T:
+                    pad = jnp.broadcast_to(buf[-1:], (bucket - T,) + buf.shape[1:])
+                    buf = jnp.concatenate([buf, pad], axis=0)
                 return buf, med
 
             self._staged_steps[key] = fin
         return self._staged_steps[key]
 
-    def finalize_staged(self, slabs, bgr, src_wh, max_sample_num=None):
-        """Concat uploaded slabs into the resident buffer + device median."""
+    def finalize_staged(self, slabs, bgr, src_wh, max_sample_num=None,
+                        bucket_frames: Optional[int] = None):
+        """Concat uploaded slabs into the resident buffer + device median.
+
+        ``bucket_frames`` rounds the buffer length up to the next multiple
+        (repeat-last-frame padding) so videos of different lengths share
+        ONE compiled scan program per bucket - the serving path's defense
+        against per-video-length recompiles (see run_staged)."""
         T = int(sum(s.shape[0] for s in slabs))
         if not slabs or T == 0:
             raise ValueError(
                 "no frames decoded from video: the stream opened but yielded "
                 "zero frames (empty, truncated, or unsupported codec)"
             )
-        buf, median = self._finalize_fn(T, max_sample_num)(tuple(slabs))
+        bucket = None
+        if bucket_frames:
+            bucket = -(-T // int(bucket_frames)) * int(bucket_frames)
+        buf, median = self._finalize_fn(T, max_sample_num, bucket)(tuple(slabs))
         return StagedVideo(buf=buf, T=T, median=median, bgr=bgr, src_wh=src_wh)
 
     def warmup_staged(self, staged: StagedVideo, mesh=None):
@@ -623,7 +711,10 @@ class TrackNetPredictor:
             # the minutes-long remote compile into the first timed run.
             scan = self._acquire_scan(staged, mesh)
             state = ensemble_init(L, (self.h, self.w))
-            scan.lower(buf, med, state).compile()
+            if int(buf.shape[0]) != staged.T:  # bucketed scan takes s_real
+                scan.lower(buf, med, state, jnp.int32(0)).compile()
+            else:
+                scan.lower(buf, med, state).compile()
 
     # ------------------------ AOT program cache -----------------------------
 
@@ -665,18 +756,27 @@ class TrackNetPredictor:
         """The staged-scan callable, via (in order): in-memory cache,
         deserialized jax.export blob (skips minutes of host retracing),
         or a fresh trace (which then writes the blob for next time).
-        Sharded (mesh) programs always trace fresh."""
+        Sharded (mesh) programs always trace fresh. A bucket-padded
+        staged video (buf longer than T) acquires the bucketed scan,
+        keyed/exported by BUFFER length - one blob per bucket."""
         import os
 
-        fn = self._staged_scan_fn(staged.bgr, mesh)
+        bucketed = int(staged.buf.shape[0]) != staged.T
+        kind = "scanb" if bucketed else "scan"
+        T_key = int(staged.buf.shape[0]) if bucketed else staged.T
+        fn = (
+            self._staged_scan_bucketed_fn(staged.bgr, mesh)
+            if bucketed
+            else self._staged_scan_fn(staged.bgr, mesh)
+        )
         if mesh is not None or not self.program_cache_dir:
             return fn
-        key = ("exported", staged.bgr, staged.T)
+        key = ("exported", staged.bgr, kind, T_key)
         if key in self._staged_steps:
             return self._staged_steps[key]
         from jax import export as jax_export
 
-        path = self._program_cache_path("scan", staged.bgr, staged.T)
+        path = self._program_cache_path(kind, staged.bgr, T_key)
         if os.path.exists(path):
             with open(path, "rb") as f:
                 exported = jax_export.deserialize(f.read())
@@ -695,9 +795,12 @@ class TrackNetPredictor:
         try:
             med = self._staged_median_arg(staged)
             state = ensemble_init(self.seq_len, (self.h, self.w))
+            args = (staged.buf, med, state)
+            if bucketed:
+                args = args + (jnp.int32(0),)
             sds = jax.tree_util.tree_map(
                 lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
-                (staged.buf, med, state),
+                args,
             )
             exported = jax_export.export(fn)(*sds)
             os.makedirs(self.program_cache_dir, exist_ok=True)
@@ -763,7 +866,17 @@ class TrackNetPredictor:
             # Whole video in ONE dispatch + ONE fetch (see _staged_scan_fn).
             scan = self._acquire_scan(staged, mesh)
             state = ensemble_init(L, (self.h, self.w))
-            arr = np.asarray(scan(buf, med, state))[:T]
+            if int(buf.shape[0]) != T:
+                # bucket-padded buffer -> bucketed scan (traced S_real);
+                # the packed rows and flush tail come back unsliced
+                S = max(T - L + 1, 1)
+                full = np.asarray(scan(buf, med, state, jnp.int32(S)))
+                n_rows = full.shape[0] - (L - 1)
+                arr = np.concatenate(
+                    [full[:S], full[n_rows : n_rows + (T - S)]], axis=0
+                )[:T]
+            else:
+                arr = np.asarray(scan(buf, med, state))[:T]
             return self._rows_to_pred(arr, img_scaler)
         # nonoverlap: one device-side concat of the valid rows + a SINGLE
         # small fetch (per-chunk np.asarray would pay one relay round trip
@@ -1408,3 +1521,114 @@ def predict_video(
                 video_file, pred, os.path.join(save_dir, f"{name}.mp4"), traj_len=traj_len
             )
     return pred
+
+
+def predict_videos(
+    video_files: List[str],
+    tracknet_file: str,
+    inpaintnet_file: str = "",
+    eval_mode: str = "weight",
+    batch_size: int = 16,
+    max_sample_num: int = 1800,
+    save_dir: Optional[str] = None,
+    output_video: bool = False,
+    traj_len: int = 8,
+    native_decode: bool = True,
+    num_devices: Optional[int] = None,
+    bucket_quantum: int = 256,
+    staging_budget_bytes: float = 8e9,
+    input_hw: Optional[Tuple[int, int]] = None,
+) -> Dict[str, Dict[str, list]]:
+    """Batch serving flow over many videos (one model load, shared programs).
+
+    The reference has no batch mode - predict.py handles a single video
+    per process (reference: predict.py:71-312), so serving N videos pays
+    N process starts and N model loads. This flow loads the model once
+    and defends against the two TPU serving costs:
+
+    1. **Per-length recompiles**: every distinct video length T is a
+       distinct traced program. Buffers are bucket-padded to the next
+       ``bucket_quantum`` multiple (repeat-last-frame padding, traced
+       real-window count; see _staged_scan_bucketed_fn), so all videos in
+       a bucket share ONE compiled scan program - a serving deployment
+       compiles a handful of programs total, and the AOT program cache
+       persists them across processes.
+    2. **Degraded post-execution H2D** (this runtime's relay pathology;
+       irrelevant on standard TPU hosts): videos are staged in WAVES -
+       every video of a wave is decoded + uploaded before any program
+       executes, then the wave is computed. Waves after the first pay the
+       degraded upload path here; on standard hosts they pipeline cleanly.
+
+    Videos whose staged buffer alone would exceed ``staging_budget_bytes``
+    fall back to the bounded-memory streaming path individually.
+
+    Returns {video_path: prediction dict}; with ``save_dir`` each video
+    also writes ``{name}_ball.csv`` (and optionally the overlay video).
+    """
+    import os
+
+    mesh = None
+    if (num_devices or 0) > 1:
+        from .parallel.mesh import make_mesh
+
+        mesh = make_mesh(num_devices)
+
+    kw = {} if input_hw is None else {"input_hw": input_hw}
+    predictor = TrackNetPredictor(
+        tracknet_file,
+        inpaintnet_file or None,
+        eval_mode=eval_mode,
+        batch_size=batch_size,
+        native_decode=native_decode,
+        **kw,
+    )
+    frame_bytes = predictor.h * predictor.w * 3
+
+    def _finish(video_file: str, pred: Dict[str, list], src_wh) -> Dict[str, list]:
+        if predictor.inpaintnet is not None:
+            pred = predictor.inpaint_trajectory(pred, src_wh)
+        if save_dir:
+            os.makedirs(save_dir, exist_ok=True)
+            name = os.path.splitext(os.path.basename(video_file))[0]
+            write_pred_csv(pred, os.path.join(save_dir, f"{name}_ball.csv"))
+            if output_video:
+                write_pred_video(
+                    video_file, pred,
+                    os.path.join(save_dir, f"{name}.mp4"), traj_len=traj_len,
+                )
+        return pred
+
+    results: Dict[str, Dict[str, list]] = {}
+    wave: List[Tuple[str, StagedVideo]] = []
+    wave_bytes = 0
+
+    def flush_wave():
+        nonlocal wave, wave_bytes
+        for f, staged in wave:
+            pred = predictor.run_staged(staged, mesh=mesh)
+            results[f] = _finish(f, pred, staged.src_wh)
+        wave, wave_bytes = [], 0  # drop buffer refs -> HBM freed
+
+    streaming: List[str] = []
+    for f in video_files:
+        reader = VideoReader(f)
+        T = reader.video_len
+        reader.release()
+        bucket_T = -(-max(T, 1) // bucket_quantum) * bucket_quantum
+        vid_bytes = bucket_T * frame_bytes
+        if vid_bytes > staging_budget_bytes:
+            streaming.append(f)  # handled after the staged waves
+            continue
+        if wave and wave_bytes + vid_bytes > staging_budget_bytes:
+            flush_wave()
+        wave.append((f, predictor.stage_video(f, bucket_frames=bucket_quantum)))
+        wave_bytes += vid_bytes
+    flush_wave()
+
+    for f in streaming:
+        pred = predictor.predict_video_streaming(f, max_sample_num=max_sample_num)
+        reader = VideoReader(f)
+        src_wh = (reader.w, reader.h)
+        reader.release()
+        results[f] = _finish(f, pred, src_wh)
+    return results
