@@ -112,6 +112,7 @@ def _run_predict(args):
             native_decode=not args.cv2_decode,
             num_devices=args.num_devices,
             bucket_quantum=args.bucket_quantum,
+            on_error="skip",  # one corrupt file must not abort the batch
         )
         return
 

@@ -306,6 +306,30 @@ def test_predict_videos_batch_matches_single(tmp_path, small_res):
         assert n_rows == len(expected[f]["Frame"])
 
 
+def test_predict_videos_skips_corrupt_file(tmp_path, small_res):
+    """on_error='skip': a corrupt video is reported and dropped; the rest of
+    the batch completes. Default 'raise' propagates the failure."""
+    from tracknetv3_tpu.inference import predict_videos
+
+    _make_predictor(tmp_path, bg_mode="concat")  # writes tn_concat.pt
+    good = str(tmp_path / "good.mp4")
+    _write_clip(good, 9, seed=50)
+    bad = str(tmp_path / "bad.mp4")
+    with open(bad, "wb") as f:
+        f.write(b"not a video at all")
+
+    kw = dict(
+        tracknet_file=str(tmp_path / "tn_concat.pt"),
+        native_decode=False, bucket_quantum=16, input_hw=(H, W), batch_size=4,
+    )
+    results = predict_videos([bad, good], on_error="skip", **kw)
+    assert good in results and bad not in results
+    assert len(results[good]["Frame"]) == 9
+
+    with pytest.raises(Exception):
+        predict_videos([bad, good], **kw)  # default on_error='raise'
+
+
 def test_finalize_staged_empty_raises(tmp_path, small_res):
     """Zero decoded frames must fail with a clear error, not an
     IndexError inside jit tracing."""

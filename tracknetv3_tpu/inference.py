@@ -365,7 +365,10 @@ class TrackNetPredictor:
                     rows = jnp.concatenate([rows, tail[:tail_n]], axis=0)
                 return rows
 
-            self._staged_steps[key] = jax.jit(impl, donate_argnums=(2,))
+            # no donation: the scan returns only packed rows (the state
+            # dies inside the program), so the donated f32 ensemble tail
+            # could never alias an output - XLA just warned every run
+            self._staged_steps[key] = jax.jit(impl)
         return self._staged_steps[key]
 
     def _staged_scan_bucketed_fn(self, bgr: bool, mesh=None):
@@ -433,7 +436,10 @@ class TrackNetPredictor:
                 ).astype(jnp.int32)
                 return jnp.concatenate([rows, tail], axis=0)
 
-            self._staged_steps[key] = jax.jit(impl, donate_argnums=(2,))
+            # no donation: the scan returns only packed rows (the state
+            # dies inside the program), so the donated f32 ensemble tail
+            # could never alias an output - XLA just warned every run
+            self._staged_steps[key] = jax.jit(impl)
         return self._staged_steps[key]
 
     def _staged_step_nonoverlap(self, bgr: bool, mesh=None):
@@ -1538,6 +1544,7 @@ def predict_videos(
     bucket_quantum: int = 256,
     staging_budget_bytes: float = 8e9,
     input_hw: Optional[Tuple[int, int]] = None,
+    on_error: str = "raise",
 ) -> Dict[str, Dict[str, list]]:
     """Batch serving flow over many videos (one model load, shared programs).
 
@@ -1561,6 +1568,10 @@ def predict_videos(
 
     Videos whose staged buffer alone would exceed ``staging_budget_bytes``
     fall back to the bounded-memory streaming path individually.
+
+    ``on_error='skip'`` isolates per-video failures (corrupt/undecodable
+    files are reported to stderr and dropped) instead of aborting the
+    batch; the default ``'raise'`` propagates, matching predict_video.
 
     Returns {video_path: prediction dict}; with ``save_dir`` each video
     also writes ``{name}_ball.csv`` (and optionally the overlay video).
@@ -1598,6 +1609,23 @@ def predict_videos(
                 )
         return pred
 
+    import sys
+
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+
+    def _guard(f, fn):
+        """Run fn(); under on_error='skip' a failing video is reported to
+        stderr and dropped from the results instead of killing the batch
+        (serving contract: one corrupt file must not abort N-1 good ones)."""
+        if on_error == "raise":
+            return fn(), True
+        try:
+            return fn(), True
+        except Exception as e:  # noqa: BLE001 - per-video isolation
+            print(f"warning: skipping {f}: {e}", file=sys.stderr)
+            return None, False
+
     results: Dict[str, Dict[str, list]] = {}
     wave: List[Tuple[str, StagedVideo]] = []
     wave_bytes = 0
@@ -1605,15 +1633,26 @@ def predict_videos(
     def flush_wave():
         nonlocal wave, wave_bytes
         for f, staged in wave:
-            pred = predictor.run_staged(staged, mesh=mesh)
-            results[f] = _finish(f, pred, staged.src_wh)
+            def run(f=f, staged=staged):
+                pred = predictor.run_staged(staged, mesh=mesh)
+                return _finish(f, pred, staged.src_wh)
+
+            pred, ok = _guard(f, run)
+            if ok:
+                results[f] = pred
         wave, wave_bytes = [], 0  # drop buffer refs -> HBM freed
 
     streaming: List[str] = []
     for f in video_files:
-        reader = VideoReader(f)
-        T = reader.video_len
-        reader.release()
+        def probe(f=f):
+            reader = VideoReader(f)
+            T = reader.video_len
+            reader.release()
+            return T
+
+        T, ok = _guard(f, probe)
+        if not ok:
+            continue
         bucket_T = -(-max(T, 1) // bucket_quantum) * bucket_quantum
         vid_bytes = bucket_T * frame_bytes
         if vid_bytes > staging_budget_bytes:
@@ -1621,14 +1660,25 @@ def predict_videos(
             continue
         if wave and wave_bytes + vid_bytes > staging_budget_bytes:
             flush_wave()
-        wave.append((f, predictor.stage_video(f, bucket_frames=bucket_quantum)))
-        wave_bytes += vid_bytes
+        staged, ok = _guard(
+            f, lambda f=f: predictor.stage_video(f, bucket_frames=bucket_quantum)
+        )
+        if ok:
+            wave.append((f, staged))
+            wave_bytes += vid_bytes
     flush_wave()
 
     for f in streaming:
-        pred = predictor.predict_video_streaming(f, max_sample_num=max_sample_num)
-        reader = VideoReader(f)
-        src_wh = (reader.w, reader.h)
-        reader.release()
-        results[f] = _finish(f, pred, src_wh)
+        def stream(f=f):
+            pred = predictor.predict_video_streaming(
+                f, max_sample_num=max_sample_num
+            )
+            reader = VideoReader(f)
+            src_wh = (reader.w, reader.h)
+            reader.release()
+            return _finish(f, pred, src_wh)
+
+        pred, ok = _guard(f, stream)
+        if ok:
+            results[f] = pred
     return results
