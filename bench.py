@@ -329,7 +329,7 @@ def run_serve_bench(args):
     Three videos of DIFFERENT lengths are staged as one wave (all decode+
     upload before any program executes - the fast H2D window), bucket-
     padded so they share ONE compiled scan program (inference.
-    _staged_scan_bucketed_fn: repeat-last-frame padding + traced real-
+    _staged_scan_fn: repeat-last-frame padding + traced real-
     window count; pad chunks are skipped by lax.cond, so padding adds no
     forward FLOPs beyond the partial-chunk waste the exact path already
     pays). Reports aggregate end-to-end FPS over the wave. The reference

@@ -16,6 +16,13 @@ def main():
         "lengths share compiled programs (see inference.predict_videos)",
     )
     parser.add_argument(
+        "--fail_fast",
+        action="store_true",
+        default=False,
+        help="with --video_dir: abort on the first failing video instead "
+        "of skipping it (the default skips and reports a summary)",
+    )
+    parser.add_argument(
         "--bucket_quantum",
         type=int,
         default=256,
@@ -99,7 +106,7 @@ def _run_predict(args):
         if not files:
             raise FileNotFoundError(f"no videos in {args.video_dir}")
         print(f"Batch predicting {len(files)} videos from {args.video_dir}")
-        predict_videos(
+        results = predict_videos(
             files,
             tracknet_file=args.tracknet_file,
             inpaintnet_file=args.inpaintnet_file,
@@ -112,8 +119,17 @@ def _run_predict(args):
             native_decode=not args.cv2_decode,
             num_devices=args.num_devices,
             bucket_quantum=args.bucket_quantum,
-            on_error="skip",  # one corrupt file must not abort the batch
+            # skip: one corrupt file must not abort the batch;
+            # --fail_fast restores raise-on-first-error
+            on_error="raise" if args.fail_fast else "skip",
         )
+        skipped = len(files) - len(results)
+        print(f"Predicted {len(results)}/{len(files)} videos"
+              + (f" ({skipped} skipped - see warnings above)" if skipped else ""))
+        if not results:
+            raise SystemExit(
+                f"all {len(files)} videos failed; nothing was predicted"
+            )
         return
 
     predict_video(

@@ -461,7 +461,9 @@ def test_run_staged_bucketed_matches_exact(tmp_path, small_res, eval_mode):
     lengths share one compiled scan program (the serving contract)."""
     p = _make_predictor(tmp_path, bg_mode="concat", eval_mode=eval_mode,
                         batch_size=4)
-    for T in (2, 5, 11, 17):
+    # 24 pins the exact-bucket-multiple case: no padding happens, but the
+    # video must still share the bucket's compiled program (s_real == S)
+    for T in (2, 5, 11, 17, 24):
         rng = np.random.default_rng(100 + T)
         buf = jnp.asarray(rng.integers(0, 255, (T, H, W, 3), np.uint8))
         exact = p.finalize_staged([buf], bgr=False, src_wh=(W, H))
@@ -472,8 +474,9 @@ def test_run_staged_bucketed_matches_exact(tmp_path, small_res, eval_mode):
         pb = p.run_staged(bucketed, img_scaler=(1.0, 1.0))
         assert pe == pb, (T, eval_mode)
     if eval_mode == "weight":
-        # one bucketed scan callable served every length
-        assert (False, "scanb", None) in p._staged_steps
+        # one scan callable served every length (exact and bucketed alike:
+        # the program is keyed by buffer length only, s_real is runtime)
+        assert (False, "scan", None) in p._staged_steps
 
 
 def test_warmup_compiles_the_exported_program(tmp_path, small_res):
@@ -505,7 +508,7 @@ def test_warmup_compiles_the_exported_program(tmp_path, small_res):
 
 def test_program_cache_bucketed_roundtrip(tmp_path, small_res):
     """The AOT program cache exports bucketed scans keyed by BUFFER length
-    (kind 'scanb' + traced s_real arg): a fresh predictor must load the
+    (traced s_real arg, keyed by buffer length): a fresh predictor must load the
     blob and reproduce the predictions."""
     import os
 
@@ -517,7 +520,7 @@ def test_program_cache_bucketed_roundtrip(tmp_path, small_res):
     st = p.finalize_staged([buf], bgr=False, src_wh=(W, H), bucket_frames=16)
     pred1 = p.run_staged(st, img_scaler=(1.0, 1.0))
     blobs = [f for f in os.listdir(pdir) if f.endswith(".jaxexp")]
-    assert len(blobs) == 1 and "scanb" in blobs[0], blobs
+    assert len(blobs) == 1 and "scan" in blobs[0], blobs
 
     p2 = inf.TrackNetPredictor(
         str(tmp_path / "tn_concat.pt"), eval_mode="weight", batch_size=4,
@@ -526,7 +529,7 @@ def test_program_cache_bucketed_roundtrip(tmp_path, small_res):
     st2 = p2.finalize_staged([buf], bgr=False, src_wh=(W, H), bucket_frames=16)
     pred2 = p2.run_staged(st2, img_scaler=(1.0, 1.0))
     assert pred1 == pred2
-    assert ("exported", False, "scanb", 16) in p2._staged_steps
+    assert ("exported", False, "scan", 16) in p2._staged_steps
 
 
 def test_program_export_failure_memoized(tmp_path, small_res, monkeypatch):

@@ -315,76 +315,28 @@ class TrackNetPredictor:
 
     def _staged_scan_fn(self, bgr: bool, mesh=None):
         """The whole overlap pipeline as ONE device program: lax.scan over
-        the carried-tail chunks, then flush + valid-row concat, returning
-        the packed (T, 3) [cx, cy, vis] rows.
+        the carried-tail chunks, then flush, returning the packed
+        (n_chunks*B + L-1, 3) [cx, cy, vis] rows (chunk rows + flush tail;
+        the caller assembles rows[:S_real] + tail[:T_real-S_real] on host).
 
         A per-chunk dispatch path pays one relay round trip (~30 ms) per
         chunk program PLUS the flush/collect dispatch; at 4 chunks per
         480-frame video that is ~0.15 s of pure dispatch latency. Scanning
         inside the program makes the whole video 1 dispatch + 1 fetch.
         Chunk/window maths and ensemble semantics are identical to the
-        eval engine's incremental carried-tail chunks."""
+        eval engine's incremental carried-tail chunks.
+
+        The program is deliberately shape-polymorphic in video length:
+        only the BUFFER length is baked into the executable, and the real
+        window count ``s_real`` is a traced scalar - chunks past it are
+        skipped by lax.cond and the ensemble masks partial chunks
+        (ensemble_update_fn's padded-window contract). A bucket-padded
+        buffer (finalize_staged bucket_frames) therefore shares ONE
+        compiled program across every video length in the bucket - the
+        serving path's defense against per-length multi-minute recompiles
+        - and an exact-length buffer is just the s_real == S special case
+        of the same program."""
         key = (bgr, "scan", mesh)
-        if key not in self._staged_steps:
-            pre = make_staged_preprocessor(
-                self.bg_mode, self.seq_len, bgr, out_dtype=self.compute_dtype
-            )
-            L, B = self.seq_len, self.batch_size
-
-            def impl(buf, med, state):
-                from .models.fused_forward import tracknet_fused_forward
-
-                T = buf.shape[0]
-                S = max(T - L + 1, 1)
-                n_chunks = -(-S // B)
-
-                def body(st, k):
-                    w0 = k * B
-                    nv = jnp.minimum(jnp.int32(S) - w0, B)
-                    x = self._shard_windows(
-                        pre(buf, med, w0 + jnp.arange(B)), mesh
-                    )
-                    probs = tracknet_fused_forward(
-                        self._folded, x, dtype=self.compute_dtype
-                    )  # (B, h, w, L)
-                    wp = jnp.moveaxis(probs, -1, 1).astype(jnp.float32)
-                    st, frames = ensemble_update_fn(st, wp, self._weights, nv)
-                    dec = decode_heatmaps(frames)
-                    return st, jnp.stack(
-                        [dec["cx"], dec["cy"], dec["vis"]], axis=-1
-                    )
-
-                state, packs = jax.lax.scan(
-                    body, state, jnp.arange(n_chunks, dtype=jnp.int32)
-                )
-                rows = packs.reshape(n_chunks * B, 3)[:S]
-                tail_n = T - S
-                if tail_n > 0:
-                    d = decode_heatmaps(ensemble_flush(state))
-                    tail = jnp.stack([d["cx"], d["cy"], d["vis"]], axis=-1)
-                    rows = jnp.concatenate([rows, tail[:tail_n]], axis=0)
-                return rows
-
-            # no donation: the scan returns only packed rows (the state
-            # dies inside the program), so the donated f32 ensemble tail
-            # could never alias an output - XLA just warned every run
-            self._staged_steps[key] = jax.jit(impl)
-        return self._staged_steps[key]
-
-    def _staged_scan_bucketed_fn(self, bgr: bool, mesh=None):
-        """Bucket-shared variant of _staged_scan_fn for serving many videos.
-
-        The plain scan bakes the video length T into the program (chunk
-        count, final slice), so every distinct T pays a fresh multi-minute
-        XLA compile. Here the buffer is padded to a bucket length (see
-        finalize_staged) and the REAL window count ``s_real`` is a traced
-        scalar: chunks beyond it run on pad frames with n_valid=0, which
-        the ensemble masks out (ensemble_update_fn's padded-window
-        contract), so ONE compiled program serves every video whose length
-        falls in the bucket. Returns the (n_chunks*B, 3) packed rows plus
-        the (L-1, 3) flush tail in one fetch; the caller assembles
-        rows[:S_real] + tail[:T_real-S_real] on host."""
-        key = (bgr, "scanb", mesh)
         if key not in self._staged_steps:
             pre = make_staged_preprocessor(
                 self.bg_mode, self.seq_len, bgr, out_dtype=self.compute_dtype
@@ -717,10 +669,7 @@ class TrackNetPredictor:
             # the minutes-long remote compile into the first timed run.
             scan = self._acquire_scan(staged, mesh)
             state = ensemble_init(L, (self.h, self.w))
-            if int(buf.shape[0]) != staged.T:  # bucketed scan takes s_real
-                scan.lower(buf, med, state, jnp.int32(0)).compile()
-            else:
-                scan.lower(buf, med, state).compile()
+            scan.lower(buf, med, state, jnp.int32(0)).compile()
 
     # ------------------------ AOT program cache -----------------------------
 
@@ -750,9 +699,11 @@ class TrackNetPredictor:
         h = hashlib.sha256()
         h.update(self._ckpt_digest())
         h.update(
-            f"{kind}|{bgr}|{T}|{self.batch_size}|{self.seq_len}|{self.eval_mode}|"
-            f"{self.compute_dtype}|{self.h}x{self.w}|{jax.__version__}|"
-            f"{jax.default_backend()}".encode()
+            # v2: the scan takes a traced s_real scalar (unified
+            # bucketed/exact program); v1 blobs have a 3-arg signature
+            f"v2|{kind}|{bgr}|{T}|{self.batch_size}|{self.seq_len}|"
+            f"{self.eval_mode}|{self.compute_dtype}|{self.h}x{self.w}|"
+            f"{jax.__version__}|{jax.default_backend()}".encode()
         )
         return os.path.join(
             self.program_cache_dir, f"staged_{kind}_{h.hexdigest()[:24]}.jaxexp"
@@ -762,27 +713,22 @@ class TrackNetPredictor:
         """The staged-scan callable, via (in order): in-memory cache,
         deserialized jax.export blob (skips minutes of host retracing),
         or a fresh trace (which then writes the blob for next time).
-        Sharded (mesh) programs always trace fresh. A bucket-padded
-        staged video (buf longer than T) acquires the bucketed scan,
-        keyed/exported by BUFFER length - one blob per bucket."""
+        Sharded (mesh) programs always trace fresh. Programs and blobs
+        are keyed by BUFFER length (the only length the executable
+        bakes in - s_real is a runtime scalar), so bucket-padded videos
+        of any length share one program/blob per bucket."""
         import os
 
-        bucketed = int(staged.buf.shape[0]) != staged.T
-        kind = "scanb" if bucketed else "scan"
-        T_key = int(staged.buf.shape[0]) if bucketed else staged.T
-        fn = (
-            self._staged_scan_bucketed_fn(staged.bgr, mesh)
-            if bucketed
-            else self._staged_scan_fn(staged.bgr, mesh)
-        )
+        T_key = int(staged.buf.shape[0])
+        fn = self._staged_scan_fn(staged.bgr, mesh)
         if mesh is not None or not self.program_cache_dir:
             return fn
-        key = ("exported", staged.bgr, kind, T_key)
+        key = ("exported", staged.bgr, "scan", T_key)
         if key in self._staged_steps:
             return self._staged_steps[key]
         from jax import export as jax_export
 
-        path = self._program_cache_path(kind, staged.bgr, T_key)
+        path = self._program_cache_path("scan", staged.bgr, T_key)
         if os.path.exists(path):
             with open(path, "rb") as f:
                 exported = jax_export.deserialize(f.read())
@@ -801,9 +747,7 @@ class TrackNetPredictor:
         try:
             med = self._staged_median_arg(staged)
             state = ensemble_init(self.seq_len, (self.h, self.w))
-            args = (staged.buf, med, state)
-            if bucketed:
-                args = args + (jnp.int32(0),)
+            args = (staged.buf, med, state, jnp.int32(0))
             sds = jax.tree_util.tree_map(
                 lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
                 args,
@@ -870,19 +814,17 @@ class TrackNetPredictor:
                 results.append((packed, min(B, n_win - w0) * L))
         else:
             # Whole video in ONE dispatch + ONE fetch (see _staged_scan_fn).
+            # The scan returns chunk rows + flush tail unsliced (s_real is
+            # a runtime scalar so the program is shared across lengths);
+            # assemble rows[:S] + tail[:T-S] here.
             scan = self._acquire_scan(staged, mesh)
             state = ensemble_init(L, (self.h, self.w))
-            if int(buf.shape[0]) != T:
-                # bucket-padded buffer -> bucketed scan (traced S_real);
-                # the packed rows and flush tail come back unsliced
-                S = max(T - L + 1, 1)
-                full = np.asarray(scan(buf, med, state, jnp.int32(S)))
-                n_rows = full.shape[0] - (L - 1)
-                arr = np.concatenate(
-                    [full[:S], full[n_rows : n_rows + (T - S)]], axis=0
-                )[:T]
-            else:
-                arr = np.asarray(scan(buf, med, state))[:T]
+            S = max(T - L + 1, 1)
+            full = np.asarray(scan(buf, med, state, jnp.int32(S)))
+            n_rows = full.shape[0] - (L - 1)
+            arr = np.concatenate(
+                [full[:S], full[n_rows : n_rows + (T - S)]], axis=0
+            )[:T]
             return self._rows_to_pred(arr, img_scaler)
         # nonoverlap: one device-side concat of the valid rows + a SINGLE
         # small fetch (per-chunk np.asarray would pay one relay round trip
@@ -1556,7 +1498,7 @@ def predict_videos(
     1. **Per-length recompiles**: every distinct video length T is a
        distinct traced program. Buffers are bucket-padded to the next
        ``bucket_quantum`` multiple (repeat-last-frame padding, traced
-       real-window count; see _staged_scan_bucketed_fn), so all videos in
+       real-window count; see _staged_scan_fn), so all videos in
        a bucket share ONE compiled scan program - a serving deployment
        compiles a handful of programs total, and the AOT program cache
        persists them across processes.
@@ -1627,12 +1569,32 @@ def predict_videos(
             return None, False
 
     results: Dict[str, Dict[str, list]] = {}
-    wave: List[Tuple[str, StagedVideo]] = []
+    # wave entries: [f, slabs, src_wh] while uploaded, then [f, staged]
+    wave: List[list] = []
     wave_bytes = 0
 
     def flush_wave():
         nonlocal wave, wave_bytes
-        for f, staged in wave:
+        # Finalize AFTER every wave member is uploaded: finalize runs a
+        # device program, and on hosts where post-execution H2D degrades
+        # (this relay - PROFILE.md) finalizing video 1 before uploading
+        # video 2 would push the rest of the wave onto the slow path.
+        # Each video's slabs are dropped right after its finalize, so peak
+        # HBM stays ~wave_bytes + one bucket.
+        staged_wave: List[Tuple[str, StagedVideo]] = []
+        for item in wave:
+            f, slabs, src_wh = item
+            def fin(f=f, slabs=slabs, src_wh=src_wh):
+                return predictor.finalize_staged(
+                    slabs, bgr=True, src_wh=src_wh,
+                    bucket_frames=bucket_quantum,
+                )
+
+            staged, ok = _guard(f, fin)
+            item[1] = None  # drop slab refs -> HBM freed
+            if ok:
+                staged_wave.append((f, staged))
+        for f, staged in staged_wave:
             def run(f=f, staged=staged):
                 pred = predictor.run_staged(staged, mesh=mesh)
                 return _finish(f, pred, staged.src_wh)
@@ -1660,14 +1622,20 @@ def predict_videos(
             continue
         if wave and wave_bytes + vid_bytes > staging_budget_bytes:
             flush_wave()
-        staged, ok = _guard(
-            f, lambda f=f: predictor.stage_video(f, bucket_frames=bucket_quantum)
-        )
+        up, ok = _guard(f, lambda f=f: predictor.upload_video_slabs(f))
         if ok:
-            wave.append((f, staged))
+            slabs, src_wh = up
+            wave.append([f, slabs, src_wh])
             wave_bytes += vid_bytes
     flush_wave()
 
+    if streaming and mesh is not None:
+        print(
+            f"warning: {len(streaming)} video(s) exceed the staging budget "
+            "and fall back to single-device streaming (num_devices ignored "
+            "for them)",
+            file=sys.stderr,
+        )
     for f in streaming:
         def stream(f=f):
             pred = predictor.predict_video_streaming(
