@@ -642,15 +642,20 @@ class TrackNetPredictor:
         return StagedVideo(buf=buf, T=T, median=median, bgr=bgr, src_wh=src_wh)
 
     def warmup_staged(self, staged: StagedVideo, mesh=None):
-        """Compile the staged chunk/flush programs (one dummy chunk each).
+        """Compile the staged programs without paying a full-video run.
 
         Remote compiles on this runtime take seconds-to-minutes and are
         process-cached only, so callers that care about timing warm up
-        explicitly. Compilation is AOT (jit.lower().compile(), which
-        shares the call-path executable cache) - warming must not
-        EXECUTE the scan program, whose runtime scales with the whole
-        video. Pass the same ``mesh`` that ``run_staged`` will get: the
-        sharded program is a different executable than the 1-device one."""
+        explicitly. The overlap warm-up EXECUTES the exact callable
+        run_staged will dispatch (via _acquire_scan - the exported-call
+        program when the AOT cache is enabled, the plain jit otherwise)
+        with ``s_real=0``: every chunk is skipped by the in-program
+        lax.cond, so the call costs milliseconds regardless of video
+        length while compiling the real executable. (An Exported.call has
+        no .lower(); wrapping it in jax.jit for an AOT compile measured
+        450 s/process of call_exported re-tracing - see _acquire_scan.)
+        Pass the same ``mesh`` that ``run_staged`` will get: the sharded
+        program is a different executable than the 1-device one."""
         L = self.seq_len
         med = self._staged_median_arg(staged)
         buf = staged.buf
@@ -662,14 +667,9 @@ class TrackNetPredictor:
             step = self._staged_step_nonoverlap(staged.bgr, mesh)
             step.lower(buf, med, jnp.int32(0)).compile()
         else:
-            # _acquire_scan, NOT _staged_scan_fn: when the AOT program
-            # cache is enabled run_staged executes the exported-call
-            # program, a different HLO module than the plain jit -
-            # warming the jit would leave the real program cold and push
-            # the minutes-long remote compile into the first timed run.
             scan = self._acquire_scan(staged, mesh)
             state = ensemble_init(L, (self.h, self.w))
-            scan.lower(buf, med, state, jnp.int32(0)).compile()
+            np.asarray(scan(buf, med, state, jnp.int32(0)))  # fetch=done
 
     # ------------------------ AOT program cache -----------------------------
 
@@ -732,11 +732,15 @@ class TrackNetPredictor:
         if os.path.exists(path):
             with open(path, "rb") as f:
                 exported = jax_export.deserialize(f.read())
-            # jit-wrap the exported call so warmup_staged can AOT-compile
-            # (.lower().compile()) the SAME callable run_staged dispatches
-            # - a bare exported.call has no lower() and would compile a
-            # second executable distinct from any jit-warmed one.
-            call = jax.jit(exported.call)
+            # BARE exported.call, not jax.jit(exported.call): dispatching a
+            # jit-of-exported-call re-traces/inlines the embedded scan
+            # module through the call_exported machinery on EVERY fresh
+            # process (measured 450 s for the 480-frame scan, defeating
+            # the cache), while the bare call executes the deserialized
+            # module directly (~seconds with a warm persistent cache).
+            # warmup_staged warms this exact callable by executing it with
+            # s_real=0 (all chunks cond-skipped, so that costs ~ms).
+            call = exported.call
             self._staged_steps[key] = call
             return call
         # miss: trace once, persist, and EXECUTE VIA THE EXPORT from now
@@ -758,7 +762,7 @@ class TrackNetPredictor:
             with open(tmp, "wb") as f:
                 f.write(exported.serialize())
             os.replace(tmp, path)
-            call = jax.jit(exported.call)
+            call = exported.call  # bare: see the deserialize branch above
             self._staged_steps[key] = call
             return call
         except Exception as e:  # noqa: BLE001 - cache is optional
