@@ -81,7 +81,7 @@ def main():
 
     from tracknetv3_tpu.utils.compile_cache import enable_persistent_cache
 
-    enable_persistent_cache()  # cold-start: reload compiled executables from disk
+    args._cache_dir = enable_persistent_cache()  # cold-start: executables from disk
 
     from tracknetv3_tpu.utils.profiling import trace
 
@@ -122,6 +122,17 @@ def _run_predict(args):
             # skip: one corrupt file must not abort the batch;
             # --fail_fast restores raise-on-first-error
             on_error="raise" if args.fail_fast else "skip",
+            # Batch serving persists AOT program blobs by default:
+            # bucketing bounds the blob count (one ~20 MB blob per bucket
+            # length, pruned by the cache size cap), so fresh serving
+            # processes skip the trace+lower cost too. Single-video mode
+            # keeps blobs opt-in (TRACKNETV3_TPU_PROGRAM_CACHE): exact
+            # per-video lengths would write an unbounded blob set.
+            program_cache_dir=(
+                os.path.join(args._cache_dir, "programs")
+                if args._cache_dir
+                else None
+            ),
         )
         skipped = len(files) - len(results)
         print(f"Predicted {len(results)}/{len(files)} videos"

@@ -1491,6 +1491,7 @@ def predict_videos(
     staging_budget_bytes: float = 8e9,
     input_hw: Optional[Tuple[int, int]] = None,
     on_error: str = "raise",
+    program_cache_dir: Optional[str] = None,
 ) -> Dict[str, Dict[str, list]]:
     """Batch serving flow over many videos (one model load, shared programs).
 
@@ -1537,6 +1538,7 @@ def predict_videos(
         eval_mode=eval_mode,
         batch_size=batch_size,
         native_decode=native_decode,
+        program_cache_dir=program_cache_dir,
         **kw,
     )
     frame_bytes = predictor.h * predictor.w * 3

@@ -17,6 +17,11 @@ Environment:
   TRACKNETV3_TPU_CACHE_DIR     cache location (default
                                ~/.cache/tracknetv3_tpu/xla);
                                set to "0", "off" or "" to disable.
+  TRACKNETV3_TPU_CACHE_MAX_GB  size cap for the cache tree (default 8;
+                               oldest entries are pruned past it - the
+                               executable cache grows with every program
+                               shape and AOT program blobs embed model
+                               weights at ~20 MB each).
 """
 
 from __future__ import annotations
@@ -25,6 +30,45 @@ import os
 from typing import Optional
 
 _DISABLED = {"0", "off", "none", "false"}
+
+
+def prune_cache_dir(cache_dir: str, max_bytes: Optional[int] = None) -> int:
+    """Bound the cache tree: delete oldest-access files until under the
+    cap. Returns the number of files removed. Never raises - the cache
+    is an optimization, and a concurrent process may race deletions."""
+    if max_bytes is None:
+        try:
+            gb = float(os.environ.get("TRACKNETV3_TPU_CACHE_MAX_GB", "8"))
+        except ValueError:
+            gb = 8.0
+        max_bytes = int(gb * 1e9)
+    entries = []
+    total = 0
+    try:
+        for root, _, names in os.walk(cache_dir):
+            for n in names:
+                p = os.path.join(root, n)
+                try:
+                    st = os.stat(p)
+                except OSError:
+                    continue
+                entries.append((st.st_atime, st.st_size, p))
+                total += st.st_size
+    except OSError:
+        return 0
+    removed = 0
+    if total <= max_bytes:
+        return 0
+    for _, size, p in sorted(entries):
+        try:
+            os.remove(p)
+        except OSError:
+            continue
+        removed += 1
+        total -= size
+        if total <= max_bytes:
+            break
+    return removed
 
 
 def default_cache_dir() -> str:
@@ -58,6 +102,7 @@ def enable_persistent_cache(cache_dir: Optional[str] = None) -> Optional[str]:
         # sub-second programs recompile faster than they deserialize).
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        prune_cache_dir(cache_dir)
         return cache_dir
     except Exception as e:  # noqa: BLE001 - optimization only, never fatal
         import sys
