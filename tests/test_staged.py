@@ -497,6 +497,11 @@ def test_warmup_compiles_the_exported_program(tmp_path, small_res):
     assert ("exported", False, "scan", 11) in p._staged_steps
     assert len([f for f in os.listdir(pdir) if f.endswith(".jaxexp")]) == 1
     warmed = p._staged_steps[("exported", False, "scan", 11)]
+    # the cached callable must be the BARE exported.call, not a jit
+    # wrapper: dispatching jit(exported.call) re-traces the embedded
+    # module through call_exported in every fresh process (measured
+    # 450 s for a 480-frame video - PROFILE.md round-3 item 3)
+    assert not hasattr(warmed, "lower"), "jit-wrapped exported call"
     pred = p.run_staged(staged, img_scaler=(1.0, 1.0))
     # run_staged dispatched the very object warmup compiled
     assert p._staged_steps[("exported", False, "scan", 11)] is warmed
