@@ -452,6 +452,18 @@ def test_program_cache_export_roundtrip(tmp_path, small_res):
     assert len(pred3["Frame"]) == 13
     assert len([f for f in os.listdir(pdir) if f.endswith(".jaxexp")]) == 2
 
+    # a cache HIT must refresh the blob's atime (the LRU prune key):
+    # filesystem reads don't on noatime mounts, and without the explicit
+    # touch the prune would evict hot serving blobs in creation order
+    blob = os.path.join(pdir, blobs[0])
+    os.utime(blob, (1000, 1000))
+    p3 = inf.TrackNetPredictor(
+        str(tmp_path / "tn_concat.pt"), eval_mode="weight", batch_size=4,
+        input_hw=(H, W), program_cache_dir=pdir,
+    )
+    p3.run_staged(_staged_from_buf(p3, buf), img_scaler=(1.0, 1.0))
+    assert os.stat(blob).st_atime > 1000
+
 
 @pytest.mark.parametrize("eval_mode", ["weight", "nonoverlap"])
 def test_run_staged_bucketed_matches_exact(tmp_path, small_res, eval_mode):

@@ -732,6 +732,14 @@ class TrackNetPredictor:
         if os.path.exists(path):
             with open(path, "rb") as f:
                 exported = jax_export.deserialize(f.read())
+            try:
+                # mark recency for the LRU prune: on noatime mounts the
+                # read above does not refresh st_atime, and without this
+                # the prune would evict blobs in creation order even when
+                # they are hit on every serving run
+                os.utime(path, None)
+            except OSError:
+                pass
             # BARE exported.call, not jax.jit(exported.call): dispatching a
             # jit-of-exported-call re-traces/inlines the embedded scan
             # module through the call_exported machinery on EVERY fresh
