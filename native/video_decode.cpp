@@ -31,7 +31,7 @@ struct VDec {
   AVPacket *pkt = nullptr;
   int stream = -1;
   int out_w = 0, out_h = 0;
-  int sws_src_w = -1, sws_src_h = -1, sws_src_fmt = -1;
+  int sws_src_w = -1, sws_src_h = -1, sws_src_fmt = -1, sws_dst_fmt = -1;
   bool eof_sent = false;
   bool done = false;
 };
@@ -116,33 +116,50 @@ void *vdec_open(const char *path, int out_w, int out_h, int lowres,
   return d;
 }
 
-// Decode up to max_frames frames, scaling/converting each into ``out``
-// (packed HxWx3, frame-major; bgr selects BGR24 vs RGB24). Returns the
-// number of frames written; 0 at end of stream; -1 on decode error.
-int vdec_read(void *h, unsigned char *out, int max_frames, int bgr) {
-  VDec *d = static_cast<VDec *>(h);
+namespace {
+
+// Shared decode loop: scale/convert each frame into ``out`` with the given
+// packed layout. dst_fmt BGR24/RGB24 -> HxWx3 interleaved (frame_bytes =
+// w*h*3); dst_fmt YUV420P -> planar Y (h*w) + U (h/2*w/2) + V (h/2*w/2)
+// per frame (frame_bytes = w*h*3/2) - HALF the bytes of the packed-RGB
+// form, for H2D-bandwidth-bound staging (the RGB conversion then runs on
+// device where it fuses into the finalize program for free).
+int read_frames_impl(VDec *d, unsigned char *out, int max_frames,
+                     AVPixelFormat dst_fmt) {
   if (!d || d->done) return 0;
-  const int frame_bytes = d->out_w * d->out_h * 3;
+  const bool planar = dst_fmt == AV_PIX_FMT_YUV420P;
+  const size_t frame_bytes = planar
+                                 ? static_cast<size_t>(d->out_w) * d->out_h * 3 / 2
+                                 : static_cast<size_t>(d->out_w) * d->out_h * 3;
+  const size_t y_bytes = static_cast<size_t>(d->out_w) * d->out_h;
   int written = 0;
   while (written < max_frames) {
     int rr = avcodec_receive_frame(d->cc, d->frame);
     if (rr == 0) {
       AVFrame *f = d->frame;
       if (!d->sws || f->width != d->sws_src_w || f->height != d->sws_src_h ||
-          f->format != d->sws_src_fmt) {
+          f->format != d->sws_src_fmt || dst_fmt != d->sws_dst_fmt) {
         if (d->sws) sws_freeContext(d->sws);
         d->sws = sws_getContext(
             f->width, f->height, static_cast<AVPixelFormat>(f->format),
-            d->out_w, d->out_h, bgr ? AV_PIX_FMT_BGR24 : AV_PIX_FMT_RGB24,
+            d->out_w, d->out_h, dst_fmt,
             SWS_BILINEAR, nullptr, nullptr, nullptr);
         d->sws_src_w = f->width;
         d->sws_src_h = f->height;
         d->sws_src_fmt = f->format;
+        d->sws_dst_fmt = dst_fmt;
         if (!d->sws) return -1;
       }
-      uint8_t *dst[4] = {out + static_cast<size_t>(written) * frame_bytes,
-                         nullptr, nullptr, nullptr};
+      unsigned char *base = out + static_cast<size_t>(written) * frame_bytes;
+      uint8_t *dst[4] = {base, nullptr, nullptr, nullptr};
       int dst_stride[4] = {d->out_w * 3, 0, 0, 0};
+      if (planar) {
+        dst[1] = base + y_bytes;
+        dst[2] = base + y_bytes + y_bytes / 4;
+        dst_stride[0] = d->out_w;
+        dst_stride[1] = d->out_w / 2;
+        dst_stride[2] = d->out_w / 2;
+      }
       sws_scale(d->sws, f->data, f->linesize, 0, f->height, dst, dst_stride);
       av_frame_unref(f);
       ++written;
@@ -176,6 +193,25 @@ int vdec_read(void *h, unsigned char *out, int max_frames, int bgr) {
     av_packet_unref(d->pkt);
   }
   return written;
+}
+
+}  // namespace
+
+// Decode up to max_frames frames, scaling/converting each into ``out``
+// (packed HxWx3, frame-major; bgr selects BGR24 vs RGB24). Returns the
+// number of frames written; 0 at end of stream; -1 on decode error.
+int vdec_read(void *h, unsigned char *out, int max_frames, int bgr) {
+  return read_frames_impl(static_cast<VDec *>(h), out, max_frames,
+                          bgr ? AV_PIX_FMT_BGR24 : AV_PIX_FMT_RGB24);
+}
+
+// Decode up to max_frames frames as planar YUV420 at the output resolution
+// (per frame: Y[h*w], U[h/2*w/2], V[h/2*w/2] -> w*h*3/2 bytes). The output
+// dims must be even. Same return contract as vdec_read.
+int vdec_read_yuv(void *h, unsigned char *out, int max_frames) {
+  VDec *d = static_cast<VDec *>(h);
+  if (!d || (d->out_w % 2) || (d->out_h % 2)) return -1;
+  return read_frames_impl(d, out, max_frames, AV_PIX_FMT_YUV420P);
 }
 
 void vdec_close(void *h) { vdec_free(static_cast<VDec *>(h)); }

@@ -60,6 +60,16 @@ def main():
         "reader (which scales during decode and uses DCT-domain lowres on "
         "large sources); for A/B parity checks",
     )
+    parser.add_argument(
+        "--stage_format",
+        type=str,
+        default="auto",
+        choices=("auto", "yuv420", "bgr"),
+        help="staging pixel format: yuv420 uploads planar YUV420 slabs "
+        "(half the H2D bytes; BT.601->RGB runs on device in the finalize "
+        "program), bgr the packed sws-exact form; auto picks yuv420 "
+        "whenever the native decoder serves the video",
+    )
     parser.add_argument("--profile", type=str, default="", help="capture a jax.profiler trace into this directory")
     parser.add_argument("--num_devices", type=int, default=None,
                         help="shard the staged path's window batches over a "
@@ -117,6 +127,7 @@ def _run_predict(args):
             output_video=args.output_video,
             traj_len=args.traj_len,
             native_decode=not args.cv2_decode,
+            stage_format=args.stage_format,
             num_devices=args.num_devices,
             bucket_quantum=args.bucket_quantum,
             # skip: one corrupt file must not abort the batch;
@@ -158,6 +169,7 @@ def _run_predict(args):
         device_resize=args.device_resize,
         native_decode=not args.cv2_decode,
         num_devices=args.num_devices,
+        stage_format=args.stage_format,
     )
 
 

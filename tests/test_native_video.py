@@ -203,7 +203,7 @@ def test_staging_native_matches_cv2_path(clip):
             model=variables,
             param_dict=dict(model_name="TrackNet", seq_len=3, bg_mode=""),
         )
-    pred_native = TrackNetPredictor(ckpt, batch_size=4)
+    pred_native = TrackNetPredictor(ckpt, batch_size=4, stage_format="bgr")
     slabs_n, wh_n = pred_native.upload_video_slabs(clip, slab_frames=10)
     pred_cv2 = TrackNetPredictor(ckpt, batch_size=4, native_decode=False)
     slabs_c, wh_c = pred_cv2.upload_video_slabs(clip, slab_frames=10)
@@ -216,3 +216,83 @@ def test_staging_native_matches_cv2_path(clip):
     b = np.concatenate([np.asarray(s) for s in slabs_c])
     assert a.shape == b.shape
     assert np.abs(a.astype(int) - b.astype(int)).mean() < 3.0
+
+
+def test_read_yuv_matches_bgr_read(clip):
+    """vdec_read_yuv planes + the device BT.601 conversion reproduce the
+    sws packed-RGB decode of the same stream to a few LSB (nearest chroma
+    upsample vs sws's filtered upconversion; bounded, content-independent)."""
+    if not _native_available(clip):
+        pytest.skip("native video decoder unavailable")
+    import jax.numpy as jnp
+
+    from tracknetv3_tpu.ops.preprocess import yuv420_to_rgb
+
+    r1 = open_native_video(clip, WIDTH, HEIGHT, lowres=-1, bgr=False)
+    b1 = np.empty((24, HEIGHT, WIDTH, 3), np.uint8)
+    n1 = r1.read_into(b1)
+    r1.close()
+    r2 = open_native_video(clip, WIDTH, HEIGHT, lowres=-1)
+    b2 = np.empty((24, HEIGHT * WIDTH * 3 // 2), np.uint8)
+    n2 = r2.read_into_yuv(b2)
+    r2.close()
+    assert n1 == n2 == 24
+    rgb = np.asarray(yuv420_to_rgb(jnp.asarray(b2), HEIGHT, WIDTH))
+    d = np.abs(rgb.astype(int) - b1.astype(int))
+    assert d.mean() < 2.5
+    assert d.max() <= 12
+
+
+def test_stage_video_yuv_matches_bgr(clip):
+    """The default (auto->yuv420) staged pipeline returns the SAME
+    trajectory as the packed-BGR staging on the same clip, with the staged
+    RGB buffer within a few LSB per pixel. Pins the half-bytes H2D format
+    end-to-end: producer thread -> 2-D slab upload -> in-finalize
+    conversion -> bgr=False downstream."""
+    from tracknetv3_tpu.models import get_model
+    from tracknetv3_tpu.training.checkpoint import save_checkpoint
+    from tracknetv3_tpu.inference import TrackNetPredictor
+
+    H, W = 32, 64  # tiny model res: full-res CPU compiles take minutes
+    ckpt = os.path.join(os.path.dirname(clip), "m_yuv.pt")
+    if not os.path.exists(ckpt):
+        _, variables = get_model("TrackNet", 3, "concat")
+        save_checkpoint(
+            ckpt,
+            epoch=0,
+            max_val_acc=0.0,
+            model=variables,
+            param_dict=dict(model_name="TrackNet", seq_len=3, bg_mode="concat"),
+        )
+    # A flat-background clip with a decisive bright square: with random
+    # weights the heatmaps are near-uniform, so on textured content a
+    # 1-LSB staging difference can legitimately flip the argmax between
+    # near-equal peaks - that's decode sensitivity, not a staging bug.
+    from tracknetv3_tpu.native_video import write_test_clip
+
+    flat = os.path.join(os.path.dirname(clip), "flat.mp4")
+    if not os.path.exists(flat) and not write_test_clip(
+        flat, "mpeg4", n=24, w=256, h=128
+    ):
+        pytest.skip("native video encoder unavailable")
+
+    py = TrackNetPredictor(ckpt, batch_size=4, input_hw=(H, W))
+    sy = py.stage_video(flat)
+    if "yuv420" not in py.decode_backend:
+        pytest.skip("native video decoder unavailable")
+    assert sy.bgr is False
+    assert sy.buf.shape == (24, H, W, 3)
+    ry = py.run_staged(sy)
+
+    pb = TrackNetPredictor(ckpt, batch_size=4, input_hw=(H, W), stage_format="bgr")
+    sb = pb.stage_video(flat)
+    assert sb.bgr is True
+    rb = pb.run_staged(sb)
+
+    pix = np.abs(
+        np.asarray(sy.buf, np.int32) - np.asarray(sb.buf, np.int32)[..., ::-1]
+    )
+    assert pix.max() <= 12
+    assert list(ry["X"]) == list(rb["X"])
+    assert list(ry["Y"]) == list(rb["Y"])
+    assert list(ry["Visibility"]) == list(rb["Visibility"])

@@ -78,6 +78,7 @@ class TrackNetPredictor:
         native_decode: bool = True,
         input_hw: Optional[Tuple[int, int]] = None,
         program_cache_dir: Optional[str] = None,
+        stage_format: str = "auto",
     ):
         # Model input resolution is a *predictor parameter* (default: the
         # production 288x512 from config). Tests and the multichip dryrun
@@ -105,6 +106,15 @@ class TrackNetPredictor:
         # DCT-domain lowres when available (see upload_video_slabs),
         # cv2 otherwise. decode_backend records what the last staging used.
         self.native_decode = bool(native_decode)
+        # Staging pixel format: "yuv420" uploads planar YUV420 slabs (HALF
+        # the H2D bytes of packed BGR - staging is bandwidth-bound on this
+        # host class; the BT.601 RGB conversion runs on device inside the
+        # finalize program). "auto" selects yuv420 whenever the native
+        # decoder serves the video and the model dims are even, else BGR.
+        # "bgr" forces the packed path (e.g. for sws-exact pixel parity).
+        if stage_format not in ("auto", "yuv420", "bgr"):
+            raise ValueError(f"stage_format must be auto|yuv420|bgr: {stage_format}")
+        self.stage_format = stage_format
         self.decode_backend = "unused"
         self.inpaintnet = None
         if inpaintnet_file:
@@ -469,15 +479,31 @@ class TrackNetPredictor:
             else None
         )
 
+        use_yuv = (
+            reader is not None
+            and self.stage_format in ("auto", "yuv420")
+            and H % 2 == 0
+            and W % 2 == 0
+        )
         if reader is not None:
             w, h = reader.src_w, reader.src_h
-            self.decode_backend = f"native-lowres{reader.applied_lowres}"
+            self.decode_backend = f"native-lowres{reader.applied_lowres}" + (
+                "+yuv420" if use_yuv else ""
+            )
 
             def producer():
                 try:
                     while True:
-                        buf = np.empty((slab_frames, H, W, 3), np.uint8)
-                        n = reader.read_into(buf)  # releases the GIL
+                        if use_yuv:
+                            # planar YUV420 slabs: half the upload bytes;
+                            # device converts in the finalize program
+                            buf = np.empty(
+                                (slab_frames, H * W * 3 // 2), np.uint8
+                            )
+                            n = reader.read_into_yuv(buf)  # releases the GIL
+                        else:
+                            buf = np.empty((slab_frames, H, W, 3), np.uint8)
+                            n = reader.read_into(buf)  # releases the GIL
                         if n <= 0:
                             break
                         q.put(buf[:n])
@@ -592,7 +618,8 @@ class TrackNetPredictor:
             slabs, bgr=False, src_wh=(w, h), max_sample_num=max_sample_num
         )
 
-    def _finalize_fn(self, T: int, max_sample_num, bucket: Optional[int] = None):
+    def _finalize_fn(self, T: int, max_sample_num, bucket: Optional[int] = None,
+                     yuv: bool = False):
         """Cached fused concat+median(+bucket-pad) program (one dispatch per
         finalize; every extra dispatch costs a relay round trip).
 
@@ -601,13 +628,20 @@ class TrackNetPredictor:
         clipping indices at T-1, so padded and unpadded buffers yield
         bit-identical window inputs. The median is computed from the REAL
         frames before padding (pad repeats would skew it)."""
-        key = ("finalize", T, max_sample_num, bool(self.bg_mode), bucket)
+        key = ("finalize", T, max_sample_num, bool(self.bg_mode), bucket, yuv)
         if key not in self._staged_steps:
             with_median = bool(self.bg_mode)
+            h, w = self.h, self.w
 
             @jax.jit
             def fin(parts):
                 buf = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+                if yuv:
+                    # planar-YUV420 staging (half the H2D bytes): BT.601
+                    # conversion fuses into this program for free
+                    from .ops.preprocess import yuv420_to_rgb
+
+                    buf = yuv420_to_rgb(buf, h, w)
                 med = (
                     self._median_staged_traced(buf, T, max_sample_num)
                     if with_median
@@ -638,8 +672,13 @@ class TrackNetPredictor:
         bucket = None
         if bucket_frames:
             bucket = -(-T // int(bucket_frames)) * int(bucket_frames)
-        buf, median = self._finalize_fn(T, max_sample_num, bucket)(tuple(slabs))
-        return StagedVideo(buf=buf, T=T, median=median, bgr=bgr, src_wh=src_wh)
+        # 2-D slabs are planar-YUV420 uploads (upload_video_slabs); the
+        # finalize program converts them to RGB, so downstream bgr=False.
+        yuv = getattr(slabs[0], "ndim", 4) == 2
+        buf, median = self._finalize_fn(T, max_sample_num, bucket, yuv)(tuple(slabs))
+        return StagedVideo(
+            buf=buf, T=T, median=median, bgr=bgr and not yuv, src_wh=src_wh
+        )
 
     def warmup_staged(self, staged: StagedVideo, mesh=None):
         """Compile the staged programs without paying a full-video run.
@@ -1402,6 +1441,7 @@ def predict_video(
     device_resize: bool = False,
     native_decode: bool = True,
     num_devices: Optional[int] = None,
+    stage_format: str = "auto",
 ) -> Dict[str, list]:
     """Full predict CLI flow (reference: predict.py:71-312).
 
@@ -1432,6 +1472,7 @@ def predict_video(
         eval_mode=eval_mode,
         batch_size=batch_size,
         native_decode=native_decode,
+        stage_format=stage_format,
     )
     reader = VideoReader(video_file)
     w, h = reader.w, reader.h
@@ -1500,6 +1541,7 @@ def predict_videos(
     input_hw: Optional[Tuple[int, int]] = None,
     on_error: str = "raise",
     program_cache_dir: Optional[str] = None,
+    stage_format: str = "auto",
 ) -> Dict[str, Dict[str, list]]:
     """Batch serving flow over many videos (one model load, shared programs).
 
@@ -1547,6 +1589,7 @@ def predict_videos(
         batch_size=batch_size,
         native_decode=native_decode,
         program_cache_dir=program_cache_dir,
+        stage_format=stage_format,
         **kw,
     )
     frame_bytes = predictor.h * predictor.w * 3

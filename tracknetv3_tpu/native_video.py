@@ -87,6 +87,12 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int,
             ctypes.c_int,
         ]
+        lib.vdec_read_yuv.restype = ctypes.c_int
+        lib.vdec_read_yuv.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
+        ]
         lib.vdec_close.restype = None
         lib.vdec_close.argtypes = [ctypes.c_void_p]
         lib.venc_write_test_clip.restype = ctypes.c_int
@@ -173,6 +179,29 @@ class NativeVideoReader:
         )
         if n < 0:
             raise RuntimeError("native video decode error")
+        return n
+
+    def read_into_yuv(self, out: np.ndarray) -> int:
+        """Decode into a preallocated (N, out_h*out_w*3//2) C-contiguous
+        uint8 array of planar YUV420 frames (per frame: Y[h*w], U[h/2*w/2],
+        V[h/2*w/2]); returns frames written (0 at EOS, raises on error).
+
+        HALF the bytes of the packed-BGR form - the H2D-staging format.
+        The BT.601 limited-range YUV->RGB conversion then runs on device
+        inside the finalize program (ops.preprocess.yuv420_to_rgb), where
+        it fuses with the concat+median for free. Output dims must be even
+        (checked at open by the C side returning -1)."""
+        if self._h is None:
+            return 0
+        assert out.dtype == np.uint8 and out.flags.c_contiguous
+        assert out.shape[-1] == self.out_h * self.out_w * 3 // 2, out.shape
+        n = self._lib.vdec_read_yuv(
+            self._h,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            int(out.shape[0]),
+        )
+        if n < 0:
+            raise RuntimeError("native video decode error (yuv420)")
         return n
 
     def close(self):

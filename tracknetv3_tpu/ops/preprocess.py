@@ -115,6 +115,44 @@ def background_diff(frames: jax.Array, median: jax.Array) -> jax.Array:
     return diff[..., None]
 
 
+def yuv420_to_rgb(flat: jax.Array, h: int, w: int) -> jax.Array:
+    """Planar YUV420 frames -> (T, h, w, 3) RGB uint8, on device.
+
+    ``flat`` is (T, h*w*3//2) uint8: per frame Y[h*w], U[h/2*w/2],
+    V[h/2*w/2] as written by the native decoder's vdec_read_yuv
+    (native/video_decode.cpp). Staging in YUV420 halves the H2D bytes of
+    the bandwidth-bound upload path; this conversion runs inside the
+    finalize program where XLA fuses it with the slab concat for free.
+
+    BT.601 limited-range integer math (the libswscale default for
+    YUV420P->RGB24, which the packed-BGR staging path uses), with
+    nearest-neighbor chroma upsampling. Against an sws full-conversion
+    decode of the same stream the result differs by a few LSB at chroma
+    edges (sws uses a filtered chroma upconversion) - bounded by
+    tests/test_native_video.py and irrelevant to the model (within codec
+    noise).
+    """
+    T = flat.shape[0]
+    y_n = h * w
+    c_n = (h // 2) * (w // 2)
+    y = flat[:, :y_n].reshape(T, h, w).astype(jnp.int32)
+    u = flat[:, y_n : y_n + c_n].reshape(T, h // 2, w // 2).astype(jnp.int32)
+    v = flat[:, y_n + c_n :].reshape(T, h // 2, w // 2).astype(jnp.int32)
+    # nearest 2x chroma upsample (broadcast+reshape; no gather)
+    u = jnp.broadcast_to(u[:, :, None, :, None], (T, h // 2, 2, w // 2, 2))
+    u = u.reshape(T, h, w)
+    v = jnp.broadcast_to(v[:, :, None, :, None], (T, h // 2, 2, w // 2, 2))
+    v = v.reshape(T, h, w)
+    c = 298 * (y - 16) + 128
+    d = u - 128
+    e = v - 128
+    r = (c + 409 * e) >> 8
+    g = (c - 100 * d - 208 * e) >> 8
+    b = (c + 516 * d) >> 8
+    rgb = jnp.stack([r, g, b], axis=-1)
+    return jnp.clip(rgb, 0, 255).astype(jnp.uint8)
+
+
 @jax.jit
 def median_frame(frames: jax.Array) -> jax.Array:
     """Pixelwise median over the leading axis (reference: general.py:464)."""
