@@ -493,7 +493,7 @@ def main():
     upload_times = []
     for _ in range(max(args.passes, 1)):
         t0 = time.time()
-        slabs, src_wh = predictor.upload_video_slabs(video)
+        slabs, src_wh, yuv = predictor.upload_video_slabs(video)
         upload_times.append(time.time() - t0)
     t_upload = statistics.median(upload_times)
 
@@ -506,7 +506,7 @@ def main():
         np.asarray(jnp.mean(x.astype(jnp.float32)))
 
     t0 = time.time()
-    staged = predictor.finalize_staged(slabs, bgr=True, src_wh=src_wh)
+    staged = predictor.finalize_staged(slabs, bgr=True, src_wh=src_wh, yuv=yuv)
     probe_small(staged)  # compile the tiny timing probe too
     predictor.warmup_staged(staged)
     pred = predictor.run_staged(staged)
@@ -518,7 +518,7 @@ def main():
     # with a tiny fetch - fetching the whole median would bill ~50 ms of
     # degraded-D2H transfer that the pipeline never pays) ---
     t0 = time.time()
-    staged = predictor.finalize_staged(slabs, bgr=True, src_wh=src_wh)
+    staged = predictor.finalize_staged(slabs, bgr=True, src_wh=src_wh, yuv=yuv)
     probe_small(staged)
     t_finalize = time.time() - t0
 

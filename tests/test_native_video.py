@@ -146,7 +146,7 @@ def test_staging_decode_error_propagates(clip, tmp_path):
     )
     p = TrackNetPredictor(ckpt, batch_size=4)
     try:
-        slabs, _ = p.upload_video_slabs(str(bad), slab_frames=10)
+        slabs, _, _ = p.upload_video_slabs(str(bad), slab_frames=10)
     except (RuntimeError, FileNotFoundError):
         return  # error surfaced - the contract holds
     # Some demuxers salvage a truncated tail into a short-but-valid
@@ -204,9 +204,9 @@ def test_staging_native_matches_cv2_path(clip):
             param_dict=dict(model_name="TrackNet", seq_len=3, bg_mode=""),
         )
     pred_native = TrackNetPredictor(ckpt, batch_size=4, stage_format="bgr")
-    slabs_n, wh_n = pred_native.upload_video_slabs(clip, slab_frames=10)
+    slabs_n, wh_n, _ = pred_native.upload_video_slabs(clip, slab_frames=10)
     pred_cv2 = TrackNetPredictor(ckpt, batch_size=4, native_decode=False)
-    slabs_c, wh_c = pred_cv2.upload_video_slabs(clip, slab_frames=10)
+    slabs_c, wh_c, _ = pred_cv2.upload_video_slabs(clip, slab_frames=10)
     assert wh_n == wh_c == (1280, 720)
     assert pred_cv2.decode_backend == "cv2"
     if pred_native.decode_backend == "cv2":
@@ -296,3 +296,58 @@ def test_stage_video_yuv_matches_bgr(clip):
     assert list(ry["X"]) == list(rb["X"])
     assert list(ry["Y"]) == list(rb["Y"])
     assert list(ry["Visibility"]) == list(rb["Visibility"])
+
+
+def _tiny_ckpt(tmp_path):
+    from tracknetv3_tpu.models import get_model
+    from tracknetv3_tpu.training.checkpoint import save_checkpoint
+
+    ckpt = os.path.join(str(tmp_path), "fmt.pt")
+    _, variables = get_model("TrackNet", 3, "")
+    save_checkpoint(
+        ckpt, epoch=0, max_val_acc=0.0, model=variables,
+        param_dict=dict(model_name="TrackNet", seq_len=3, bg_mode=""),
+    )
+    return ckpt
+
+
+def test_forced_yuv420_raises_when_unhonorable(clip, tmp_path):
+    """stage_format='yuv420' must RAISE (not silently downgrade to packed
+    BGR) when the native decoder can't serve it - a forced format that is
+    ignored would invalidate A/B staging measurements without notice.
+    Only 'auto' may fall back."""
+    from tracknetv3_tpu.inference import TrackNetPredictor
+
+    ckpt = _tiny_ckpt(tmp_path)
+    p = TrackNetPredictor(
+        ckpt, batch_size=4, stage_format="yuv420", native_decode=False
+    )
+    with pytest.raises(RuntimeError, match="yuv420"):
+        p.upload_video_slabs(clip, slab_frames=10)
+
+    # odd model dims can't form YUV420 planes either
+    p2 = TrackNetPredictor(
+        ckpt, batch_size=4, stage_format="yuv420", input_hw=(35, 64)
+    )
+    if not _native_available(clip):
+        pytest.skip("native video decoder unavailable")
+    with pytest.raises(RuntimeError, match="even"):
+        p2.upload_video_slabs(clip, slab_frames=10)
+
+
+def test_finalize_staged_layout_contract(clip, tmp_path):
+    """finalize_staged takes the slab layout as an EXPLICIT flag (threaded
+    from upload_video_slabs); a mismatch between the flag and the actual
+    slab shape is an error, never a silent YUV conversion of non-YUV data."""
+    import jax.numpy as jnp
+
+    from tracknetv3_tpu.inference import TrackNetPredictor
+
+    ckpt = _tiny_ckpt(tmp_path)
+    p = TrackNetPredictor(ckpt, batch_size=4)
+    packed = jnp.zeros((6, HEIGHT, WIDTH, 3), jnp.uint8)
+    with pytest.raises(ValueError, match="slab layout"):
+        p.finalize_staged([packed], bgr=True, src_wh=(WIDTH, HEIGHT), yuv=True)
+    flat = jnp.zeros((6, HEIGHT * WIDTH * 3 // 2), jnp.uint8)
+    with pytest.raises(ValueError, match="slab layout"):
+        p.finalize_staged([flat], bgr=True, src_wh=(WIDTH, HEIGHT), yuv=False)

@@ -447,7 +447,7 @@ class TrackNetPredictor:
 
     def upload_video_slabs(
         self, video_file: str, slab_frames: int = 120
-    ) -> Tuple[List[jax.Array], Tuple[int, int]]:
+    ) -> Tuple[List[jax.Array], Tuple[int, int], bool]:
         """Decode + host-resize + upload a video (the program-free phase).
 
         A producer thread decodes and resizes (BGR kept - the RGB flip
@@ -455,7 +455,10 @@ class TrackNetPredictor:
         ``device_put`` - both the native decode call and the RPC release
         the GIL, so decode and upload overlap on a single core. Runs NO
         device program, so it rides the fast H2D path as long as nothing
-        has executed yet. Returns (device slabs, source (w, h)).
+        has executed yet. Returns (device slabs, source (w, h), yuv) -
+        ``yuv`` says whether the slabs are flat planar-YUV420 rows (pass
+        it through to ``finalize_staged``; the slab layout is an explicit
+        contract, not inferred from ndim).
 
         Decode prefers the native libav reader (native_video.py), which
         converts straight to model resolution and - when the source is
@@ -485,6 +488,19 @@ class TrackNetPredictor:
             and H % 2 == 0
             and W % 2 == 0
         )
+        if self.stage_format == "yuv420" and not use_yuv:
+            # An explicitly forced format must not silently downgrade to
+            # packed BGR (it would invalidate A/B staging measurements
+            # without notice); only "auto" may fall back.
+            reason = (
+                "the native decoder is unavailable for this video"
+                if reader is None
+                else f"model dims {H}x{W} are not even"
+            )
+            raise RuntimeError(
+                f"stage_format='yuv420' cannot be honored: {reason}; use "
+                "stage_format='auto' to allow packed-BGR fallback"
+            )
         if reader is not None:
             w, h = reader.src_w, reader.src_h
             self.decode_backend = f"native-lowres{reader.applied_lowres}" + (
@@ -564,7 +580,7 @@ class TrackNetPredictor:
             ) from producer_err[0]
         for s in slabs:
             jax.block_until_ready(s)
-        return slabs, (w, h)
+        return slabs, (w, h), use_yuv
 
     def stage_video(
         self,
@@ -582,13 +598,13 @@ class TrackNetPredictor:
         import time
 
         t0 = time.time()
-        slabs, src_wh = self.upload_video_slabs(video_file, slab_frames)
+        slabs, src_wh, yuv = self.upload_video_slabs(video_file, slab_frames)
         t_upload = time.time() - t0
 
         t0 = time.time()
         staged = self.finalize_staged(slabs, bgr=True, src_wh=src_wh,
                                       max_sample_num=max_sample_num,
-                                      bucket_frames=bucket_frames)
+                                      bucket_frames=bucket_frames, yuv=yuv)
         if timings is not None:
             timings["upload_s"] = t_upload
             timings["finalize_s"] = time.time() - t0
@@ -656,13 +672,21 @@ class TrackNetPredictor:
         return self._staged_steps[key]
 
     def finalize_staged(self, slabs, bgr, src_wh, max_sample_num=None,
-                        bucket_frames: Optional[int] = None):
+                        bucket_frames: Optional[int] = None,
+                        yuv: bool = False):
         """Concat uploaded slabs into the resident buffer + device median.
 
         ``bucket_frames`` rounds the buffer length up to the next multiple
         (repeat-last-frame padding) so videos of different lengths share
         ONE compiled scan program per bucket - the serving path's defense
-        against per-video-length recompiles (see run_staged)."""
+        against per-video-length recompiles (see run_staged).
+
+        ``yuv`` declares the slab layout explicitly (pass through the flag
+        ``upload_video_slabs`` returned): True means flat planar-YUV420
+        rows that the finalize program converts to RGB on device, so
+        downstream bgr=False. The layout is a caller contract, not
+        inferred from ndim - a future 2-D slab of some other layout must
+        not be silently corrupted by the conversion."""
         T = int(sum(s.shape[0] for s in slabs))
         if not slabs or T == 0:
             raise ValueError(
@@ -672,9 +696,12 @@ class TrackNetPredictor:
         bucket = None
         if bucket_frames:
             bucket = -(-T // int(bucket_frames)) * int(bucket_frames)
-        # 2-D slabs are planar-YUV420 uploads (upload_video_slabs); the
-        # finalize program converts them to RGB, so downstream bgr=False.
-        yuv = getattr(slabs[0], "ndim", 4) == 2
+        if yuv != (getattr(slabs[0], "ndim", 4) == 2):
+            raise ValueError(
+                f"yuv={yuv} does not match the slab layout "
+                f"(ndim={getattr(slabs[0], 'ndim', 4)}): pass the flag "
+                "returned by upload_video_slabs"
+            )
         buf, median = self._finalize_fn(T, max_sample_num, bucket, yuv)(tuple(slabs))
         return StagedVideo(
             buf=buf, T=T, median=median, bgr=bgr and not yuv, src_wh=src_wh
@@ -1626,7 +1653,7 @@ def predict_videos(
             return None, False
 
     results: Dict[str, Dict[str, list]] = {}
-    # wave entries: [f, slabs, src_wh] while uploaded, then [f, staged]
+    # wave entries: [f, slabs, src_wh, yuv] while uploaded
     wave: List[list] = []
     wave_bytes = 0
 
@@ -1640,11 +1667,11 @@ def predict_videos(
         # HBM stays ~wave_bytes + one bucket.
         staged_wave: List[Tuple[str, StagedVideo]] = []
         for item in wave:
-            f, slabs, src_wh = item
-            def fin(f=f, slabs=slabs, src_wh=src_wh):
+            f, slabs, src_wh, yuv = item
+            def fin(f=f, slabs=slabs, src_wh=src_wh, yuv=yuv):
                 return predictor.finalize_staged(
                     slabs, bgr=True, src_wh=src_wh,
-                    bucket_frames=bucket_quantum,
+                    bucket_frames=bucket_quantum, yuv=yuv,
                 )
 
             staged, ok = _guard(f, fin)
@@ -1681,8 +1708,8 @@ def predict_videos(
             flush_wave()
         up, ok = _guard(f, lambda f=f: predictor.upload_video_slabs(f))
         if ok:
-            slabs, src_wh = up
-            wave.append([f, slabs, src_wh])
+            slabs, src_wh, yuv = up
+            wave.append([f, slabs, src_wh, yuv])
             wave_bytes += vid_bytes
     flush_wave()
 

@@ -190,7 +190,9 @@ class NativeVideoReader:
         The BT.601 limited-range YUV->RGB conversion then runs on device
         inside the finalize program (ops.preprocess.yuv420_to_rgb), where
         it fuses with the concat+median for free. Output dims must be even
-        (checked at open by the C side returning -1)."""
+        (the C side checks at the FIRST READ, returning -1 -> RuntimeError
+        here, not at open; callers wanting an early failure should
+        validate out_w/out_h themselves)."""
         if self._h is None:
             return 0
         assert out.dtype == np.uint8 and out.flags.c_contiguous
