@@ -26,8 +26,9 @@ def main():
         "--bucket_quantum",
         type=int,
         default=256,
-        help="frame-count bucket granularity for --video_dir (larger = fewer "
-        "compiled programs, more padded-chunk waste per video)",
+        help="frame-count bucket granularity for the staged buffer (larger "
+        "= fewer compiled programs / AOT blobs, more padded-chunk waste per "
+        "video); applies to both --video_file and --video_dir",
     )
     parser.add_argument("--tracknet_file", type=str, required=True, help="TrackNet checkpoint path")
     parser.add_argument("--inpaintnet_file", type=str, default="", help="InpaintNet checkpoint path")
@@ -133,12 +134,10 @@ def _run_predict(args):
             # skip: one corrupt file must not abort the batch;
             # --fail_fast restores raise-on-first-error
             on_error="raise" if args.fail_fast else "skip",
-            # Batch serving persists AOT program blobs by default:
-            # bucketing bounds the blob count (one ~20 MB blob per bucket
-            # length, pruned by the cache size cap), so fresh serving
-            # processes skip the trace+lower cost too. Single-video mode
-            # keeps blobs opt-in (TRACKNETV3_TPU_PROGRAM_CACHE): exact
-            # per-video lengths would write an unbounded blob set.
+            # AOT program blobs persist by default: bucketing bounds the
+            # blob count (one ~20 MB blob per bucket length, pruned by the
+            # cache size cap), so fresh processes skip the trace+lower
+            # cost too.
             program_cache_dir=(
                 os.path.join(args._cache_dir, "programs")
                 if args._cache_dir
@@ -153,6 +152,8 @@ def _run_predict(args):
                 f"all {len(files)} videos failed; nothing was predicted"
             )
         return
+
+    import os
 
     predict_video(
         video_file=args.video_file,
@@ -170,6 +171,14 @@ def _run_predict(args):
         native_decode=not args.cv2_decode,
         num_devices=args.num_devices,
         stage_format=args.stage_format,
+        # Same cold-start economics as --video_dir: bucket-padded buffers
+        # + persisted AOT program blobs mean a fresh single-video process
+        # deserializes its per-bucket program instead of retracing
+        # (reference contract: zero program-acquisition cost).
+        bucket_quantum=args.bucket_quantum,
+        program_cache_dir=(
+            os.path.join(args._cache_dir, "programs") if args._cache_dir else None
+        ),
     )
 
 

@@ -570,3 +570,59 @@ def test_program_export_failure_memoized(tmp_path, small_res, monkeypatch):
     pred2 = p.run_staged(_staged_from_buf(p, buf), img_scaler=(1.0, 1.0))
     assert calls["n"] == 1, "export retried despite memoized failure"
     assert pred1 == pred2
+
+
+def test_program_cache_key_includes_source_digest(tmp_path, small_res, monkeypatch):
+    """AOT blobs are keyed by a digest of the package's own source: editing
+    or upgrading the package must invalidate old blobs automatically (a
+    stale blob would silently execute the OLD traced program)."""
+    p = _make_predictor(tmp_path, bg_mode="concat")
+    p.program_cache_dir = str(tmp_path / "programs")
+    path1 = p._program_cache_path("scan", False, 16)
+    monkeypatch.setattr(inf, "_SOURCE_DIGEST", b"different-source" * 2)
+    path2 = p._program_cache_path("scan", False, 16)
+    assert path1 != path2
+    # and the digest itself is stable within a process
+    monkeypatch.setattr(inf, "_SOURCE_DIGEST", None)
+    assert inf._package_source_digest() == inf._package_source_digest()
+
+
+def test_predict_video_buckets_and_persists_blobs_by_default(tmp_path):
+    """Single-video predict_video stages bucket-padded buffers and (when
+    given a program_cache_dir, as the CLI does by default) persists the
+    per-bucket AOT program blob - a fresh process then deserializes the
+    program instead of retracing, matching the reference's zero
+    program-acquisition cost (reference: predict.py:98-115)."""
+    import os
+
+    clip = str(tmp_path / "clip.mp4")
+    vw = cv2.VideoWriter(clip, cv2.VideoWriter_fourcc(*"mp4v"), 30, (128, 72))
+    rng = np.random.default_rng(5)
+    for t in range(13):
+        f = rng.integers(0, 120, (72, 128, 3), np.uint8)
+        f[30 : 30 + 6, 8 * t : 8 * t + 6] = 255
+        vw.write(f)
+    vw.release()
+
+    model, variables = get_model("TrackNet", L, "concat")
+    ckpt = str(tmp_path / "tn.pt")
+    save_checkpoint(
+        ckpt, epoch=0, max_val_acc=0.0, model=variables,
+        param_dict=dict(model_name="TrackNet", seq_len=L, bg_mode="concat"),
+    )
+    pdir = str(tmp_path / "programs")
+    pred1 = inf.predict_video(
+        clip, ckpt, input_hw=(H, W), batch_size=4,
+        bucket_quantum=16, program_cache_dir=pdir,
+    )
+    assert len(pred1["Frame"]) == 13
+    blobs = [f for f in os.listdir(pdir) if f.endswith(".jaxexp")]
+    assert len(blobs) == 1, blobs
+
+    # same-bucket re-run: reuses the blob (no new file), same output
+    pred2 = inf.predict_video(
+        clip, ckpt, input_hw=(H, W), batch_size=4,
+        bucket_quantum=16, program_cache_dir=pdir,
+    )
+    assert pred1 == pred2
+    assert [f for f in os.listdir(pdir) if f.endswith(".jaxexp")] == blobs

@@ -15,7 +15,7 @@ import jax as _jax
 
 from . import config
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"  # keep in sync with pyproject.toml
 
 # Persistent XLA compilation cache: amortizes the 20-40s first-compile cost
 # of the full-resolution U-Net across processes (CLI invocations, tests).

@@ -49,6 +49,36 @@ from .training.checkpoint import load_model_from_checkpoint
 from .utils.io import VideoReader, write_pred_csv, write_pred_video
 
 
+_SOURCE_DIGEST: Optional[bytes] = None
+
+
+def _package_source_digest() -> bytes:
+    """SHA-256 over every .py source file of this package (sorted relative
+    path + contents), computed once per process.
+
+    Part of the AOT program-blob key: blobs embed a fully traced program,
+    so ANY source change that could alter tracing must invalidate them.
+    A version string alone misses unreleased edits; hashing the source
+    (~0.5 MB, a few ms once) cannot."""
+    global _SOURCE_DIGEST
+    if _SOURCE_DIGEST is None:
+        import hashlib
+        import os
+
+        root = os.path.dirname(os.path.abspath(__file__))
+        h = hashlib.sha256()
+        for dirpath, dirnames, filenames in sorted(os.walk(root)):
+            dirnames.sort()
+            for fn in sorted(filenames):
+                if fn.endswith(".py"):
+                    rel = os.path.relpath(os.path.join(dirpath, fn), root)
+                    h.update(rel.encode())
+                    with open(os.path.join(dirpath, fn), "rb") as f:
+                        h.update(f.read())
+        _SOURCE_DIGEST = h.digest()
+    return _SOURCE_DIGEST
+
+
 class StagedVideo(NamedTuple):
     """A video staged on device at model resolution.
 
@@ -144,10 +174,10 @@ class TrackNetPredictor:
         # executable cache covers that) but Python TRACING + MLIR lowering
         # of the big staged-scan program (~4 min for a 480-frame video on
         # a 1-core host). Serialized Exported blobs skip retracing
-        # entirely. Opt-in (env TRACKNETV3_TPU_PROGRAM_CACHE or ctor arg)
-        # because blobs embed the model weights and are keyed by
-        # (checkpoint bytes, shapes, jax version, backend) - NOT by this
-        # package's source, so delete the dir after upgrading the package.
+        # entirely. Blobs embed the model weights and are keyed by
+        # (checkpoint bytes, shapes, jax version, backend, package source
+        # digest) - editing or upgrading the package invalidates old blobs
+        # automatically.
         import os as _os
 
         self.program_cache_dir = (
@@ -758,7 +788,11 @@ class TrackNetPredictor:
         """Blob path keyed by everything that shapes the traced program:
         checkpoint bytes (weights are embedded constants in the export),
         video length/batch/eval-mode/dtype/resolution, jax version and
-        backend (Exported records the lowering platform)."""
+        backend (Exported records the lowering platform), and a digest of
+        this package's own source - upgrading or editing the package
+        automatically invalidates stale blobs, so a blob can never execute
+        an OLD traced program after a code change (previously the
+        documented remedy was "delete the dir after upgrading")."""
         import hashlib
         import os
 
@@ -771,6 +805,7 @@ class TrackNetPredictor:
             f"{self.eval_mode}|{self.compute_dtype}|{self.h}x{self.w}|"
             f"{jax.__version__}|{jax.default_backend()}".encode()
         )
+        h.update(_package_source_digest())
         return os.path.join(
             self.program_cache_dir, f"staged_{kind}_{h.hexdigest()[:24]}.jaxexp"
         )
@@ -1469,6 +1504,9 @@ def predict_video(
     native_decode: bool = True,
     num_devices: Optional[int] = None,
     stage_format: str = "auto",
+    bucket_quantum: int = 256,
+    program_cache_dir: Optional[str] = None,
+    input_hw: Optional[Tuple[int, int]] = None,
 ) -> Dict[str, list]:
     """Full predict CLI flow (reference: predict.py:71-312).
 
@@ -1479,6 +1517,14 @@ def predict_video(
     more H2D traffic); ``large_video`` streams with bounded memory.
     ``num_devices`` > 1 shards the staged path's window batches over a
     data-parallel mesh.
+
+    The staged buffer is bucket-padded to the next ``bucket_quantum``
+    multiple (same program-sharing scheme as batch serving: the real
+    window count is a traced scalar), so with ``program_cache_dir`` set a
+    fresh single-video process reuses the per-bucket AOT program blob and
+    pays no host trace+lower cost - the reference's eager flow has zero
+    program-acquisition cost (reference: predict.py:98-115), and bucketing
+    is what bounds the blob set that matching it requires.
     """
     import os
 
@@ -1493,6 +1539,7 @@ def predict_video(
 
         mesh = make_mesh(num_devices)
 
+    kw = {} if input_hw is None else {"input_hw": input_hw}
     predictor = TrackNetPredictor(
         tracknet_file,
         inpaintnet_file or None,
@@ -1500,6 +1547,8 @@ def predict_video(
         batch_size=batch_size,
         native_decode=native_decode,
         stage_format=stage_format,
+        program_cache_dir=program_cache_dir,
+        **kw,
     )
     reader = VideoReader(video_file)
     w, h = reader.w, reader.h
@@ -1534,7 +1583,7 @@ def predict_video(
         )
     else:
         reader.release()
-        staged = predictor.stage_video(video_file)
+        staged = predictor.stage_video(video_file, bucket_frames=bucket_quantum)
         pred = predictor.run_staged(staged, img_scaler=img_scaler, mesh=mesh)
 
     if predictor.inpaintnet is not None:
