@@ -24,6 +24,14 @@ def main():
         "--split_list", type=lambda s: s.split(","), default=["train", "val", "test"]
     )
     parser.add_argument("--tolerance", type=float, default=4)
+    parser.add_argument(
+        "--exact_decode", action="store_true", default=False,
+        help="decode ensembled heatmaps on the host with the reference's "
+        "largest-bbox-area contour rule (reference test.py:52-79) instead "
+        "of the on-device peak-blob decoder; the two differ only on "
+        "multi-blob frames, and this makes the InpaintNet training CSVs "
+        "reproducible under the exact reference recipe",
+    )
     parser.add_argument("--data_dir", type=str, default="data")
     parser.add_argument("--debug", action="store_true", default=False)
     parser.add_argument("--verbose", action="store_true", default=False)
@@ -58,6 +66,7 @@ def main():
         eval_mode=args.eval_mode,
         batch_size=args.batch_size,
         tolerance=args.tolerance,
+        exact_decode=args.exact_decode,
         mesh=mesh,
     )
     for split in args.split_list:

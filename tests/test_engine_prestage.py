@@ -262,3 +262,41 @@ def test_exact_decode_picks_largest_bbox_area(tmp_path):
         4 + 2 // 2,
         4 + 2 // 2,
     )
+
+
+@pytest.mark.parametrize("exact_decode", [False, True])
+def test_mask_data_generation_with_exact_decode(tiny_rally, monkeypatch,
+                                                exact_decode):
+    """The InpaintNet training-data flow (engine.test(save_inpaint_mask=True),
+    what generate_mask_data.py drives) must accept exact_decode so the full
+    reference recipe can run under the reference's largest-bbox-area decode
+    rule (reference test.py:52-79 feeding test.py:601-604). Both decoders
+    must produce a predicted_csv with the full column contract; on
+    single-blob heatmaps they agree."""
+    import pandas as pd
+
+    import tracknetv3_tpu.data.dataset as ds
+    import tracknetv3_tpu.evaluation.test_engine as te
+
+    data_dir, rally_dir = tiny_rally
+    monkeypatch.setattr(ds, "HEIGHT", 32)
+    monkeypatch.setattr(ds, "WIDTH", 64)
+    monkeypatch.setattr(te, "HEIGHT", 32)
+    monkeypatch.setattr(te, "WIDTH", 64)
+
+    model, variables = get_model("TrackNet", 3, "")
+    engine = RallyTestEngine(
+        (model, variables), tracknet_seq_len=3, bg_mode="", eval_mode="weight",
+        batch_size=4, exact_decode=exact_decode,
+    )
+    engine.test(data_dir, "test", save_inpaint_mask=True)
+    csv = os.path.join(
+        data_dir, "test", "match1", "predicted_csv", "1_00_00_ball.csv"
+    )
+    assert os.path.exists(csv)
+    df = pd.read_csv(csv)
+    assert list(df.columns) == [
+        "Frame", "Visibility_GT", "X_GT", "Y_GT", "Visibility", "X", "Y",
+        "Inpaint_Mask",
+    ]
+    assert len(df) == 9
