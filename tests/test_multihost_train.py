@@ -22,13 +22,11 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.distributed.initialize(coordinator_address="localhost:{port}",
                            num_processes=2, process_id={pid})
-import tracknetv3_tpu.data.dataset as ds
-ds.HEIGHT, ds.WIDTH = 32, 64
 from tracknetv3_tpu.config import TrainConfig
 from tracknetv3_tpu.training.loop import train
 cfg = TrainConfig(model_name="TrackNet", seq_len=3, epochs={epochs}, batch_size=4,
                   bg_mode="concat", save_dir={save_dir!r}, seed=5,
-                  resume_training={resume})
+                  resume_training={resume}, input_hw=(32, 64))
 res = train(cfg, data_dir={data_dir!r}, verbose_print=lambda *a: None)
 print("MHTRAIN", {pid}, f"{{res['max_val_acc']:.10f}}", flush=True)
 """

@@ -106,6 +106,12 @@ class TrainConfig:
     # largest-bbox-area contour rule on the host (reference test.py:52-79;
     # fetches full heatmaps per val batch).
     exact_decode: bool = False
+    # Model input resolution (h, w); None = the reference's 288x512
+    # (module constants HEIGHT/WIDTH). Threaded through the split index,
+    # frame caches and loaders so alternate resolutions (e.g. tiny CI
+    # models) need no module-global patching. Both dims must be divisible
+    # by 8 (the U-Net's three 2x pools).
+    input_hw: Optional[tuple] = None
 
     def to_param_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)
@@ -113,4 +119,8 @@ class TrainConfig:
     @classmethod
     def from_param_dict(cls, d: Dict[str, Any]) -> "TrainConfig":
         fields = {f.name for f in dataclasses.fields(cls)}
-        return cls(**{k: v for k, v in d.items() if k in fields})
+        cfg = cls(**{k: v for k, v in d.items() if k in fields})
+        if cfg.input_hw is not None:
+            # JSON/npz round-trips turn tuples into lists/arrays
+            cfg.input_hw = tuple(int(v) for v in cfg.input_hw)
+        return cfg

@@ -151,19 +151,22 @@ class SplitIndex:
     data: Dict[str, np.ndarray]
     rally_dirs: List[str]  # absolute, indexed by rally_i
     img_shape: np.ndarray  # (num_rally, 2) original (w, h) per rally
-    img_scaler: np.ndarray  # (num_rally, 2) (w/WIDTH, h/HEIGHT)
+    img_scaler: np.ndarray  # (num_rally, 2) (w/input_w, h/input_h)
+    input_hw: Tuple[int, int] = (HEIGHT, WIDTH)  # model input resolution
 
     def __len__(self):
         return len(self.data["id"])
 
 
-def _rally_geometry(rally_dirs: List[str]) -> Tuple[np.ndarray, np.ndarray]:
+def _rally_geometry(
+    rally_dirs: List[str], input_hw: Tuple[int, int] = (HEIGHT, WIDTH)
+) -> Tuple[np.ndarray, np.ndarray]:
     shapes, scalers = [], []
     for rd in rally_dirs:
         with Image.open(os.path.join(rd, f"0.{IMG_FORMAT}")) as im:
             w, h = im.size
         shapes.append((w, h))
-        scalers.append((w / WIDTH, h / HEIGHT))
+        scalers.append((w / input_hw[1], h / input_hw[0]))
     return np.asarray(shapes, np.float64), np.asarray(scalers, np.float64)
 
 
@@ -177,20 +180,24 @@ def build_split_index(
     rally_dir: Optional[str] = None,
     debug: bool = False,
     use_cache: bool = True,
+    input_hw: Optional[Tuple[int, int]] = None,
 ) -> SplitIndex:
     """Build (or load from npz cache) the window index of a split.
 
     Cache filenames match the reference (dataset.py:117-134) so prepared
-    data dirs remain interchangeable."""
+    data dirs remain interchangeable. ``input_hw`` overrides the model
+    input resolution (default: config HEIGHT x WIDTH); loaders built from
+    the returned index inherit it."""
+    hgt, wdt = input_hw if input_hw is not None else (HEIGHT, WIDTH)
     rally_dirs_rel = get_rally_dirs(data_dir, split)
     rally_dirs = [os.path.join(data_dir, rd) for rd in rally_dirs_rel]
 
-    cfg_file = os.path.join(data_dir, f"img_config_{HEIGHT}x{WIDTH}_{split}.npz")
+    cfg_file = os.path.join(data_dir, f"img_config_{hgt}x{wdt}_{split}.npz")
     if use_cache and os.path.exists(cfg_file):
         cfg = np.load(cfg_file)
         img_shape, img_scaler = cfg["img_shape"], cfg["img_scaler"]
     else:
-        img_shape, img_scaler = _rally_geometry(rally_dirs)
+        img_shape, img_scaler = _rally_geometry(rally_dirs, (hgt, wdt))
         if use_cache:
             np.savez(cfg_file, img_shape=img_shape, img_scaler=img_scaler)
 
@@ -233,7 +240,7 @@ def build_split_index(
 
     if debug:
         data = {k: v[:256] for k, v in data.items()}
-    return SplitIndex(data, rally_dirs, img_shape, img_scaler)
+    return SplitIndex(data, rally_dirs, img_shape, img_scaler, (hgt, wdt))
 
 
 # ------------------------- resized-frame cache ----------------------------
@@ -248,14 +255,23 @@ class FrameCache:
     at original resolution, then resized; reference dataset.py:617-630).
     """
 
-    def __init__(self, data_dir: str, bg_mode: str = "", budget_bytes: float = 12e9):
+    def __init__(
+        self,
+        data_dir: str,
+        bg_mode: str = "",
+        budget_bytes: float = 12e9,
+        input_hw: Optional[Tuple[int, int]] = None,
+    ):
         """``budget_bytes`` bounds host RAM: a full training split is
         ~0.5 MB/frame resident, which would otherwise grow without limit
         across an epoch. Least-recently-loaded rallies are evicted (their
-        on-disk npz caches make a reload cheap)."""
+        on-disk npz caches make a reload cheap). ``input_hw`` overrides
+        the resize target (default: config HEIGHT x WIDTH); the on-disk
+        cache filename carries it, so resolutions coexist."""
         self.data_dir = data_dir
         self.bg_mode = bg_mode
         self.budget_bytes = budget_bytes
+        self.input_hw = tuple(input_hw) if input_hw is not None else (HEIGHT, WIDTH)
         self._rgb: Dict[str, np.ndarray] = {}
         self._diff: Dict[str, np.ndarray] = {}
         self._median: Dict[str, np.ndarray] = {}
@@ -280,7 +296,8 @@ class FrameCache:
             "subtract_concat": "diff",
             "concat": "concat",
         }[self.bg_mode]
-        return os.path.join(rally_dir, f"cache_{HEIGHT}x{WIDTH}_{tag}.npz")
+        hgt, wdt = self.input_hw
+        return os.path.join(rally_dir, f"cache_{hgt}x{wdt}_{tag}.npz")
 
     def _build(self, rally_dir: str):
         match_dir, rally_id = parse_rally_dir(rally_dir)
@@ -290,24 +307,25 @@ class FrameCache:
         need_diff = self.bg_mode in ("subtract", "subtract_concat")
         median = load_median_for_rally(match_dir, rally_id) if self.bg_mode else None
 
-        rgb = np.zeros((n, HEIGHT, WIDTH, 3), np.uint8)
-        diff = np.zeros((n, HEIGHT, WIDTH), np.uint8) if need_diff else None
+        hgt, wdt = self.input_hw
+        rgb = np.zeros((n, hgt, wdt, 3), np.uint8)
+        diff = np.zeros((n, hgt, wdt), np.uint8) if need_diff else None
         for i in range(n):
             with Image.open(os.path.join(rally_dir, f"{i}.{IMG_FORMAT}")) as im:
                 im = im.convert("RGB")
                 arr = np.asarray(im)
-                rgb[i] = np.asarray(im.resize((WIDTH, HEIGHT), Image.BICUBIC))
+                rgb[i] = np.asarray(im.resize((wdt, hgt), Image.BICUBIC))
             if need_diff:
                 d = np.sum(np.abs(arr - median), axis=2).astype("uint8")
                 diff[i] = np.asarray(
-                    Image.fromarray(d).resize((WIDTH, HEIGHT), Image.BICUBIC)
+                    Image.fromarray(d).resize((wdt, hgt), Image.BICUBIC)
                 )
         out = {"rgb": rgb}
         if need_diff:
             out["diff"] = diff
         if self.bg_mode == "concat":
             med_img = Image.fromarray(median.astype("uint8"))
-            out["median_resized"] = np.asarray(med_img.resize((WIDTH, HEIGHT)))
+            out["median_resized"] = np.asarray(med_img.resize((wdt, hgt)))
         np.savez(self._cache_path(rally_dir), **out)
         return out
 
@@ -398,7 +416,8 @@ class HeatmapBatchLoader:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.rng = np.random.default_rng(seed)
-        self.cache = FrameCache(data_dir, bg_mode)
+        self.input_hw = tuple(index.input_hw)
+        self.cache = FrameCache(data_dir, bg_mode, input_hw=self.input_hw)
         self.frame_alpha = frame_alpha
         self.segment_windows = max(int(segment_windows), 1)
         if self.segment_windows > 1:
@@ -459,12 +478,13 @@ class HeatmapBatchLoader:
     def _gather_frames(self, ids: np.ndarray, frame_pos: np.ndarray):
         """(B, L) gather from per-rally caches."""
         B, L = frame_pos.shape
+        hgt, wdt = self.input_hw
         need_diff = self.bg_mode in ("subtract", "subtract_concat")
         need_rgb = self.bg_mode in ("", "subtract_concat", "concat")
-        rgb = np.zeros((B, L, HEIGHT, WIDTH, 3), np.uint8) if need_rgb else None
-        diff = np.zeros((B, L, HEIGHT, WIDTH, 1), np.uint8) if need_diff else None
+        rgb = np.zeros((B, L, hgt, wdt, 3), np.uint8) if need_rgb else None
+        diff = np.zeros((B, L, hgt, wdt, 1), np.uint8) if need_diff else None
         median = (
-            np.zeros((B, HEIGHT, WIDTH, 3), np.uint8)
+            np.zeros((B, hgt, wdt, 3), np.uint8)
             if self.bg_mode == "concat"
             else None
         )
@@ -519,18 +539,19 @@ class HeatmapBatchLoader:
             cx = (coor[..., 0] / scaler[:, None, 0]).astype(np.int32)
             cy = (coor[..., 1] / scaler[:, None, 1]).astype(np.int32)
 
+            hgt, wdt = self.input_hw
             rgb = (
-                np.zeros((nsb, span, HEIGHT, WIDTH, 3), np.uint8)
+                np.zeros((nsb, span, hgt, wdt, 3), np.uint8)
                 if need_rgb
                 else None
             )
             diff = (
-                np.zeros((nsb, span, HEIGHT, WIDTH, 1), np.uint8)
+                np.zeros((nsb, span, hgt, wdt, 1), np.uint8)
                 if need_diff
                 else None
             )
             median = (
-                np.zeros((nsb, HEIGHT, WIDTH, 3), np.uint8)
+                np.zeros((nsb, hgt, wdt, 3), np.uint8)
                 if self.bg_mode == "concat"
                 else None
             )
@@ -691,7 +712,7 @@ class ResidentHeatmapLoader:
         need_diff = bg_mode in ("subtract", "subtract_concat")
         need_rgb = bg_mode in ("", "subtract_concat", "concat")
 
-        cache = FrameCache(data_dir, bg_mode)
+        cache = FrameCache(data_dir, bg_mode, input_hw=index.input_hw)
         rgb_parts, diff_parts, medians, offsets = [], [], [], []
         total = 0
         off = 0
@@ -844,7 +865,9 @@ class CoordinateBatchLoader:
             self.rng.shuffle(order)
         B = self.batch_size
         stop = (n // B) * B if self.drop_last else n
-        norm = np.asarray([WIDTH, HEIGHT], np.float32)
+        norm = np.asarray(
+            [self.index.input_hw[1], self.index.input_hw[0]], np.float32
+        )
         for s in range(start_batch * B, stop, B):
             sel = order[s : s + B]
             if self.process_count > 1:

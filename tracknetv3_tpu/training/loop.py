@@ -156,10 +156,12 @@ def train(config: TrainConfig, data_dir: str = "data", verbose_print=print) -> D
     # ----- data -----
     data_mode = "heatmap" if cfg.model_name == "TrackNet" else "coordinate"
     train_index = build_split_index(
-        data_dir, "train", cfg.seq_len, 1, data_mode, debug=cfg.debug
+        data_dir, "train", cfg.seq_len, 1, data_mode, debug=cfg.debug,
+        input_hw=cfg.input_hw,
     )
     val_index = build_split_index(
-        data_dir, "val", cfg.seq_len, cfg.seq_len, data_mode, debug=cfg.debug
+        data_dir, "val", cfg.seq_len, cfg.seq_len, data_mode, debug=cfg.debug,
+        input_hw=cfg.input_hw,
     )
     # The mesh is built BEFORE the loaders so resident split buffers can
     # be placed on it (replicated or frame-sharded) during staging - the
