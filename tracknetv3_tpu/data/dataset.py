@@ -144,6 +144,23 @@ def build_rally_coordinate_index(
     }
 
 
+def _atomic_savez(path: str, **arrays) -> None:
+    """np.savez via write-to-temp + os.replace: cache files are shared
+    between concurrent processes (multi-host training, parallel CLIs), and
+    a reader must never see a partially-written npz."""
+    # suffix must stay '.npz' or np.savez would append one to the temp name
+    tmp = f"{path}.tmp{os.getpid()}.npz"
+    try:
+        np.savez(tmp, **arrays)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        raise
+
+
 @dataclass
 class SplitIndex:
     """Window index over a whole split (or one rally) + image geometry."""
@@ -199,7 +216,7 @@ def build_split_index(
     else:
         img_shape, img_scaler = _rally_geometry(rally_dirs, (hgt, wdt))
         if use_cache:
-            np.savez(cfg_file, img_shape=img_shape, img_scaler=img_scaler)
+            _atomic_savez(cfg_file, img_shape=img_shape, img_scaler=img_scaler)
 
     build_fn = (
         build_rally_heatmap_index
@@ -236,7 +253,7 @@ def build_split_index(
                 for k in parts[0].keys()
             }
             if use_cache:
-                np.savez(cache_file, **data)
+                _atomic_savez(cache_file, **data)
 
     if debug:
         data = {k: v[:256] for k, v in data.items()}
@@ -326,14 +343,19 @@ class FrameCache:
         if self.bg_mode == "concat":
             med_img = Image.fromarray(median.astype("uint8"))
             out["median_resized"] = np.asarray(med_img.resize((wdt, hgt)))
-        np.savez(self._cache_path(rally_dir), **out)
+        _atomic_savez(self._cache_path(rally_dir), **out)
         return out
 
     def load(self, rally_dir: str):
         if rally_dir not in self._rgb:
             path = self._cache_path(rally_dir)
             if os.path.exists(path):
-                data = dict(np.load(path))
+                try:
+                    data = dict(np.load(path))
+                except (OSError, ValueError, EOFError, KeyError):
+                    # stale partial file from a pre-atomic-write version
+                    # (or external corruption): rebuild it
+                    data = self._build(rally_dir)
             else:
                 data = self._build(rally_dir)
             self._rgb[rally_dir] = data["rgb"]
@@ -686,6 +708,18 @@ class ResidentHeatmapLoader:
         ``jnp.take``);
       - 'auto' (default): replicate when the split fits the per-chip
         budget, else shard, else raise MemoryError.
+
+    Multi-host (``process_count`` > 1, mesh spanning all processes):
+    staging assembles the global buffers with
+    ``jax.make_array_from_process_local_data`` — under 'shard' each
+    process uploads only the 1/process_count row range its own devices
+    hold (H2D rides each host's PCIe, never the DCN); under 'replicate'
+    each process uploads the full buffer to its local devices. Every
+    process still reads the whole split from the frame caches on the
+    host (the on-disk npz caches make that IO-cheap); only HBM is
+    sharded. Batches yield the contiguous 1/process_count row slice of
+    the global batch, matching HeatmapBatchLoader's contract with
+    parallel.mesh.shard_batch.
     """
 
     def __init__(
@@ -700,6 +734,8 @@ class ResidentHeatmapLoader:
         budget_bytes: float = 6e9,
         mesh=None,
         frame_sharding: str = "auto",
+        process_id: int = 0,
+        process_count: int = 1,
     ):
         import jax
 
@@ -709,6 +745,15 @@ class ResidentHeatmapLoader:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.rng = np.random.default_rng(seed)
+        self.process_id = int(process_id)
+        self.process_count = int(process_count)
+        if self.process_count > 1:
+            assert mesh is not None, "multi-host resident staging needs the global mesh"
+            assert batch_size % self.process_count == 0, (
+                f"batch_size {batch_size} not divisible by process_count "
+                f"{self.process_count}"
+            )
+            assert drop_last, "multi-host loaders require drop_last (full batches)"
         need_diff = bg_mode in ("subtract", "subtract_concat")
         need_rgb = bg_mode in ("", "subtract_concat", "concat")
 
@@ -745,13 +790,33 @@ class ResidentHeatmapLoader:
                     f"budget even sharded over {mesh.size} devices"
                 )
             self.frame_sharding = frame_sharding
+            multihost = self.process_count > 1
             if frame_sharding == "shard":
                 sh = NamedSharding(mesh, P("data"))
                 pad_to = mesh.size  # axis 0 must divide evenly for device_put
-                put_frames = lambda x: jax.device_put(x, sh)  # noqa: E731
+                if multihost:
+                    # Each process passes only its contiguous row range
+                    # (mesh device order is process-major, so process p's
+                    # devices hold rows [p, p+1) * rows/process_count).
+                    def put_frames(x, _sh=sh):  # noqa: E731
+                        rpp = x.shape[0] // self.process_count
+                        local = x[self.process_id * rpp : (self.process_id + 1) * rpp]
+                        return jax.make_array_from_process_local_data(_sh, local)
+
+                else:
+                    put_frames = lambda x: jax.device_put(x, sh)  # noqa: E731
+            elif multihost:
+                put_frames = lambda x: jax.make_array_from_process_local_data(  # noqa: E731
+                    repl, x
+                )
             else:
                 put_frames = lambda x: jax.device_put(x, repl)  # noqa: E731
-            put_small = lambda x: jax.device_put(x, repl)  # noqa: E731
+            if multihost:
+                put_small = lambda x: jax.make_array_from_process_local_data(  # noqa: E731
+                    repl, x
+                )
+            else:
+                put_small = lambda x: jax.device_put(x, repl)  # noqa: E731
         if self.frame_sharding != "shard" and total > budget_bytes:
             raise MemoryError(
                 f"split frames ({total / 1e9:.1f} GB) exceed the resident "
@@ -790,6 +855,11 @@ class ResidentHeatmapLoader:
         stop = (n // B) * B if self.drop_last else n
         for s in range(0, stop, B):
             sel = order[s : s + B]
+            if self.process_count > 1:
+                # local contiguous slice of the global batch (the full
+                # global array is assembled by parallel.mesh.shard_batch)
+                loc = B // self.process_count
+                sel = sel[self.process_id * loc : (self.process_id + 1) * loc]
             ids = self.index.data["id"][sel]
             rally_i = ids[:, 0, 0]
             frame_pos = self.index.data["frame_id"][sel]  # (B, L) on-disk ids

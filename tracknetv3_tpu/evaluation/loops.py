@@ -9,11 +9,20 @@ metrics.gt_center_from_label).
   'inpaint'     refined coords vs ground truth,
   'reconstruct' refined coords vs the TrackNet prediction,
   'baseline'    TrackNet prediction vs ground truth.
+
+Multi-host: both loops accept ``process_id``/``process_count``; each
+process then evaluates only its round-robin share of the batches and the
+per-batch losses + integer confusions are summed across processes with a
+host all-gather (``_merge_across_processes``). Metrics are identical on
+every process, and identical to a single-process run: the confusion
+counts are integers (exact), and the loss vector is re-assembled in
+global batch order before the mean, so even the float reduction order
+matches the single-process loop bit for bit.
 """
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -41,12 +50,47 @@ def _dedup_mask(ids: np.ndarray) -> np.ndarray:
     return np.logical_and.accumulate(keep, axis=1)
 
 
+def _merge_across_processes(loss_slots: np.ndarray, confusions: np.ndarray):
+    """Sum per-process partial results over all jax.distributed processes.
+
+    ``loss_slots`` is the full-length per-batch f32 loss vector with zeros
+    at the batches this process did not evaluate; ``confusions`` any array
+    of integer confusion counts. The all-gather is a collective - every
+    process must call with identically-shaped arrays.
+
+    Transport is BIT-EXACT: without jax_enable_x64 a float allgather
+    silently downcasts f64 payloads to f32, so the f32 loss values ride as
+    their int32 bit patterns instead (each slot has exactly one nonzero
+    contributor, so integer summation reproduces the pattern - f32 zero is
+    all-zero bits), and counts ride as int32. The merged metrics are then
+    bitwise identical to a single-process evaluation.
+    """
+    from jax.experimental import multihost_utils
+
+    loss_bits = np.ascontiguousarray(
+        loss_slots.astype(np.float32)
+    ).view(np.int32)
+    counts = confusions.astype(np.int32)
+    assert np.array_equal(counts, confusions), "confusion counts not integral"
+    stacked = multihost_utils.process_allgather(
+        np.concatenate([loss_bits.ravel(), counts.ravel()])
+    )
+    merged = np.sum(np.asarray(stacked), axis=0, dtype=np.int64)
+    n = loss_slots.size
+    loss = (
+        merged[:n].astype(np.int32).view(np.float32).astype(np.float64)
+    ).reshape(loss_slots.shape)
+    return loss, merged[n:].reshape(confusions.shape).astype(np.float64)
+
+
 def eval_tracknet(
     state,
     eval_step,
     loader,
     tolerance: float = 4.0,
     exact_decode: bool = False,
+    process_id: int = 0,
+    process_count: int = 1,
 ) -> Tuple[float, Dict]:
     """``exact_decode=True`` decodes predicted heatmaps on the HOST with
     the reference's exact largest-bbox-area contour rule (native CCL or
@@ -56,11 +100,14 @@ def eval_tracknet(
     item 1), at the cost of fetching full heatmaps per batch."""
     from ..ops.detect import decode_heatmaps_host
 
-    losses = []
+    num_batches = len(loader)
+    loss_slots = np.zeros(max(num_batches, 1), np.float64)
     confusion = np.zeros(5)
-    for batch in loader:
+    for i, batch in enumerate(loader):
+        if i % process_count != process_id:
+            continue
         loss, probs = eval_step(state, batch)
-        losses.append(float(loss))
+        loss_slots[i] = float(loss)
         wins = jnp.moveaxis(probs, -1, 1)  # (B, L, H, W)
         if exact_decode:
             dec = decode_heatmaps_host(np.asarray(wins, np.float32))
@@ -73,23 +120,41 @@ def eval_tracknet(
             cxcy[..., 0], cxcy[..., 1], 1.0, 1.0
         )
         types = classify_detections(cx_p, cy_p, cx_t, cy_t, tolerance)
-        keep = _dedup_mask(batch["id"])
+        keep = _dedup_mask(np.asarray(batch["id"]))
         confusion += confusion_from_types(types[keep])
-    return float(np.mean(losses)), metrics_dict(confusion)
+    if process_count > 1:
+        loss_slots, confusion = _merge_across_processes(loss_slots, confusion)
+    return float(np.mean(loss_slots[:num_batches])), metrics_dict(confusion)
 
 
-def eval_inpaintnet(state, eval_step, loader, tolerance: float = 4.0) -> Tuple[float, Dict]:
-    losses = []
+def eval_inpaintnet(
+    state,
+    eval_step,
+    loader,
+    tolerance: float = 4.0,
+    input_hw: Optional[Tuple[int, int]] = None,
+    process_id: int = 0,
+    process_count: int = 1,
+) -> Tuple[float, Dict]:
+    """``input_hw`` must match the resolution the loader normalized
+    coordinates by (SplitIndex.input_hw); default: config HEIGHT x WIDTH.
+    The confusion is classified in model-input pixel space
+    (reference test.py:119-122)."""
+    hgt, wdt = input_hw if input_hw is not None else (HEIGHT, WIDTH)
+    num_batches = len(loader)
+    loss_slots = np.zeros(max(num_batches, 1), np.float64)
     confusion = {t: np.zeros(5) for t in INPAINTNET_EVAL_TYPES}
-    for batch in loader:
+    for i, batch in enumerate(loader):
+        if i % process_count != process_id:
+            continue
         loss, coor_inpaint = eval_step(state, batch)
-        losses.append(float(loss))
-        keep = _dedup_mask(batch["id"])
+        loss_slots[i] = float(loss)
+        keep = _dedup_mask(np.asarray(batch["id"]))
 
         def centers(c):
             c = np.asarray(c)
-            return (c[..., 0] * WIDTH).astype(np.int64), (
-                c[..., 1] * HEIGHT
+            return (c[..., 0] * wdt).astype(np.int64), (
+                c[..., 1] * hgt
             ).astype(np.int64)
 
         ci = centers(coor_inpaint)
@@ -103,5 +168,11 @@ def eval_inpaintnet(state, eval_step, loader, tolerance: float = 4.0) -> Tuple[f
         for name, ((cxp, cyp), (cxt, cyt)) in pairs.items():
             types = classify_detections(cxp, cyp, cxt, cyt, tolerance)
             confusion[name] += confusion_from_types(types[keep])
+    if process_count > 1:
+        stacked = np.stack([confusion[t] for t in INPAINTNET_EVAL_TYPES])
+        loss_slots, stacked = _merge_across_processes(loss_slots, stacked)
+        confusion = {
+            t: stacked[k] for k, t in enumerate(INPAINTNET_EVAL_TYPES)
+        }
     res = {t: metrics_dict(confusion[t]) for t in INPAINTNET_EVAL_TYPES}
-    return float(np.mean(losses)), res
+    return float(np.mean(loss_slots[:num_batches])), res

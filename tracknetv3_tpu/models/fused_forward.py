@@ -205,12 +205,18 @@ def tracknet_train_forward(
             "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
+        # Statistics dtype: f32 for the production bf16/f32 paths, f64
+        # when the working dtype is f64 (the multi-host numerics dryrun
+        # runs the whole step in f64 to bound cross-process
+        # reduction-order error; a hardwired f32 here would reintroduce
+        # f32 noise into that bound).
+        stats_dtype = jnp.result_type(jnp.float32, jnp.dtype(dtype))
         if not fast_bn:
-            y = y.astype(jnp.float32)
+            y = y.astype(stats_dtype)
         scale = params[block][sub]["bn"]["scale"]
         bias = params[block][sub]["bn"]["bias"]
         if train:
-            yf = y.astype(jnp.float32)  # reductions upcast; fused by XLA
+            yf = y.astype(stats_dtype)  # reductions upcast; fused by XLA
             bmean = jnp.mean(yf, axis=(0, 1, 2))
             bvar = jnp.maximum(
                 jnp.mean(jnp.square(yf), axis=(0, 1, 2)) - jnp.square(bmean), 0.0
@@ -261,7 +267,7 @@ def tracknet_train_forward(
             (1, 1),
             "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ).astype(jnp.float32)
+        ).astype(jnp.result_type(jnp.float32, jnp.dtype(dtype)))
         + params["predictor"]["bias"]
     )
     return logits, (new_stats if train else batch_stats)

@@ -39,9 +39,13 @@ def wbce(y_pred: jax.Array, y: jax.Array, reduce: bool = True) -> jax.Array:
 
 
 def wbce_from_logits(logits: jax.Array, y: jax.Array, reduce: bool = True) -> jax.Array:
-    """Fused sigmoid + WBCE from logits (stable training hot path)."""
-    logits = logits.astype(jnp.float32)
-    y = y.astype(jnp.float32)
+    """Fused sigmoid + WBCE from logits (stable training hot path).
+
+    Upcast-only: bf16 inputs compute in f32 (production), f64 inputs stay
+    f64 (the multi-host numerics dryrun)."""
+    acc = jnp.result_type(jnp.float32, logits.dtype)
+    logits = logits.astype(acc)
+    y = y.astype(acc)
     p = jax.nn.sigmoid(logits)
     log_p = jax.nn.log_sigmoid(logits)  # = -softplus(-z)
     log_1mp = jax.nn.log_sigmoid(-logits)  # = -softplus(z)

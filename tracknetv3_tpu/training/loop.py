@@ -52,12 +52,28 @@ class DeviceCachedEvalLoader:
     ``budget_bytes``; later iterations yield the cached references and
     stream only the overflow. Requires a deterministic underlying loader
     (val loaders never shuffle).
+
+    Multi-host (``process_count`` > 1): only this process's round-robin
+    share of the batches (indices ``process_id::process_count``, the same
+    batch sharding the eval loops use) is uploaded and cached; unowned
+    indices yield the raw host batch, which the sharded eval loop skips
+    without ever touching device memory.
     """
 
-    def __init__(self, loader, budget_bytes: float = 4e9):
+    def __init__(
+        self,
+        loader,
+        budget_bytes: float = 4e9,
+        process_id: int = 0,
+        process_count: int = 1,
+    ):
         self.loader = loader
         self.budget = budget_bytes
+        self.process_id = int(process_id)
+        self.process_count = int(process_count)
         self._cache = []
+        self._idx_cache = {}
+        self._used = 0.0
         self._primed = False
         self._overflow = False
 
@@ -65,6 +81,9 @@ class DeviceCachedEvalLoader:
         return len(self.loader)
 
     def __iter__(self):
+        if self.process_count > 1:
+            yield from self._iter_sharded()
+            return
         if self._primed:
             yield from self._cache
             if self._overflow:
@@ -97,6 +116,25 @@ class DeviceCachedEvalLoader:
                 self._overflow = True
             yield dev
         self._primed = True
+
+    def _iter_sharded(self):
+        """Multi-host iteration: upload/cache owned batches only (dict
+        keyed by global index - contiguity doesn't apply here); unowned
+        batches pass through as host arrays untouched."""
+        for i, batch in enumerate(self.loader):
+            if i % self.process_count != self.process_id:
+                yield batch
+                continue
+            dev = self._idx_cache.get(i)
+            if dev is None:
+                dev = jax.device_put(batch)
+                size = sum(
+                    leaf.nbytes for leaf in jax.tree_util.tree_leaves(batch)
+                )
+                if self._used + size <= self.budget:
+                    self._idx_cache[i] = dev
+                    self._used += size
+            yield dev
 
 
 def _prefetch_to_device(loader, mesh, depth: int = 2):
@@ -187,7 +225,6 @@ def train(config: TrainConfig, data_dir: str = "data", verbose_print=print) -> D
         cfg.resident_frames
         and cfg.model_name == "TrackNet"
         and cfg.frame_alpha <= 0
-        and not multihost  # per-host shard staging not implemented
     )
     if cfg.model_name == "TrackNet":
         train_loader = val_loader = None
@@ -204,10 +241,20 @@ def train(config: TrainConfig, data_dir: str = "data", verbose_print=print) -> D
                     seed=cfg.seed,
                     data_dir=data_dir,
                     mesh=mesh,
+                    process_id=pid,
+                    process_count=pcount,
                 )
-                val_loader = ResidentHeatmapLoader(
-                    val_index, cfg.bg_mode, cfg.batch_size, data_dir=data_dir,
-                    mesh=mesh,
+                # Validation under multi-host runs per-process on a local
+                # state replica (see eval_fn below) - it cannot consume
+                # global-mesh-resident buffers, so val stays on the host
+                # loader there.
+                val_loader = (
+                    None
+                    if multihost
+                    else ResidentHeatmapLoader(
+                        val_index, cfg.bg_mode, cfg.batch_size,
+                        data_dir=data_dir, mesh=mesh,
+                    )
                 )
                 verbose_print(
                     "Resident frames: split staged to device memory"
@@ -234,6 +281,10 @@ def train(config: TrainConfig, data_dir: str = "data", verbose_print=print) -> D
                 process_id=pid,
                 process_count=pcount,
             )
+        if val_loader is None:
+            # Full batches on every process: under multi-host the val set
+            # is sharded at BATCH granularity inside the eval loop (each
+            # process scores batches pid::pcount; evaluation/loops.py).
             val_loader = HeatmapBatchLoader(
                 val_index, cfg.bg_mode, cfg.batch_size, data_dir=data_dir
             )
@@ -246,7 +297,11 @@ def train(config: TrainConfig, data_dir: str = "data", verbose_print=print) -> D
     if (cfg.num_devices or 0) <= 1:
         # Keep val batches device-resident across epochs (the fixed val
         # set otherwise re-uploads every epoch on the degraded H2D path).
-        val_loader = DeviceCachedEvalLoader(val_loader)
+        # Under multi-host each process uploads/caches only its own
+        # round-robin share of the batches.
+        val_loader = DeviceCachedEvalLoader(
+            val_loader, process_id=pid, process_count=pcount
+        )
     steps_per_epoch = max(len(train_loader), 1)
     verbose_print(
         f"Dataset: {len(train_index)} train / {len(val_index)} val windows"
@@ -274,18 +329,27 @@ def train(config: TrainConfig, data_dir: str = "data", verbose_print=print) -> D
         eval_fn = lambda s: eval_tracknet(  # noqa: E731
             s, eval_step, val_loader, cfg.tolerance,
             exact_decode=getattr(cfg, "exact_decode", False),
+            process_id=pid if multihost else 0,
+            process_count=pcount if multihost else 1,
         )
     else:
         train_step = make_inpaintnet_train_step(model, tx, cfg.mask_ratio)
         eval_step = make_inpaintnet_eval_step(model)
-        eval_fn = lambda s: eval_inpaintnet(s, eval_step, val_loader, cfg.tolerance)  # noqa: E731
+        eval_fn = lambda s: eval_inpaintnet(  # noqa: E731
+            s, eval_step, val_loader, cfg.tolerance,
+            input_hw=val_index.input_hw,
+            process_id=pid if multihost else 0,
+            process_count=pcount if multihost else 1,
+        )
 
     if multihost:
-        # Validation under multi-host: every process evaluates the full
-        # (replicated) val set against its LOCAL replica of the state -
-        # identical metrics everywhere, no cross-host fetches of sharded
-        # arrays (the eval loop's np.asarray would fail on
-        # non-fully-addressable global arrays).
+        # Validation under multi-host: SHARDED - each process evaluates
+        # its round-robin share of the val batches against its LOCAL
+        # replica of the state (no cross-host fetches of sharded arrays;
+        # np.asarray would fail on non-fully-addressable globals), and
+        # the eval loops all-gather the per-batch losses + integer
+        # confusions so metrics are identical on every process (and
+        # bitwise-identical to a single-process run).
         _eval_inner = eval_fn
 
         def _local_state(s: TrainState) -> TrainState:

@@ -163,7 +163,7 @@ def sample_mixup(rng, x, y, alpha: float):
 
 def make_tracknet_train_step(
     tx, bg_mode: str, alpha: float, pallas_loss: Optional[bool] = None,
-    fast_bn: bool = False,
+    fast_bn: bool = False, dtype=jnp.bfloat16,
 ):
     """Jitted TrackNet train step.
 
@@ -213,7 +213,8 @@ def make_tracknet_train_step(
 
         def loss_fn(params):
             logits, new_stats = tracknet_train_forward(
-                params, state.batch_stats, x, train=True, fast_bn=fast_bn
+                params, state.batch_stats, x, train=True, fast_bn=fast_bn,
+                dtype=dtype,
             )
             if use_pallas:
                 return pw.wbce_disk_loss(logits, *targets), new_stats
