@@ -153,10 +153,13 @@ def evaluate_ap(
     ``iouThrs`` entry). Protocol details mirrored from pycocotools and
     pinned by golden fixtures in tests/test_coco.py:
 
-    - detections are score-sorted with a STABLE sort (ties keep input
-      order, like pycocotools' mergesort) and truncated to ``max_dets``
-      per image (default 100, COCOeval's stats[0] setting) BEFORE
-      matching;
+    - detections are score-sorted with a STABLE sort and truncated to
+      ``max_dets`` per image (default 100, COCOeval's stats[0] setting)
+      BEFORE matching. Tie order matters for the precision curve:
+      COCOeval's accumulate concatenates per-image results in ascending
+      image-id order and THEN stable-sorts by score, so equal-score
+      detections order by (image id, within-image input order) - NOT by
+      global input order. Mirrored here by pre-grouping per image;
     - greedy matching walks each image's GT list and takes the best-IoU
       unmatched GT, where an IoU EQUAL to the current best replaces it
       (pycocotools' ``if ious < iou: continue`` — on exact ties the LAST
@@ -174,17 +177,19 @@ def evaluate_ap(
     if n_gt == 0:
         return 0.0
 
-    # Stable global score sort, then per-image maxDets truncation (COCOeval
-    # truncates each image's score-sorted list before matching).
-    dets = sorted(detections, key=lambda d: -d["score"])
-    per_image_count: Dict[int, int] = {}
-    kept = []
-    for det in dets:
-        c = per_image_count.get(det["image_id"], 0)
-        if c < max_dets:
-            kept.append(det)
-            per_image_count[det["image_id"]] = c + 1
-    dets = kept
+    # Per-image stable score sort + maxDets truncation, images concatenated
+    # in ascending image-id order, then a stable global score sort - the
+    # exact ordering COCOeval's evaluateImg + accumulate produce (ties
+    # across images break by image id, not by input order).
+    by_image: Dict[int, List] = {}
+    for det in detections:
+        by_image.setdefault(det["image_id"], []).append(det)
+    ordered = []
+    for img in sorted(by_image):
+        ordered.extend(
+            sorted(by_image[img], key=lambda d: -d["score"])[:max_dets]
+        )
+    dets = sorted(ordered, key=lambda d: -d["score"])
 
     matched: Dict[int, set] = {}
     tp = np.zeros(len(dets))
