@@ -1,56 +1,49 @@
 #!/usr/bin/env python
-"""Probe: per-layer budget of the TrackNet train step + Pallas matmul ceiling.
+"""Probe: per-layer cost of the TrackNet train step's conv shapes.
 
-PROFILE.md's round-3 ablations bounded the train-MFU gap (48% of peak vs
-75% for the folded-BN inference forward) to "un-folded BN normalize
-chains + skip/pool/upsample elementwise VJP traffic" — but never split
-it per layer. This probe times, for every distinct conv shape in the
-train-form U-Net at the production batch (bench --train: batch 24,
-bg_mode '', fast_bn, bf16):
+METHODOLOGY (round-4 correction). Two artifacts invalidated the first
+version of this probe (and the per-op sections of earlier PROFILE
+notes):
 
-  conv_f    — the bare conv forward,
-  chain_f   — conv + batch stats + fast_bn normalize + ReLU (the real
-              per-layer train forward, models/fused_forward.py:196-236),
-  conv_fb   — value + full vjp of conv_f,
-  chain_fb  — value + full vjp of chain_f,
+1. **DCE**: feeding only ``out.ravel()[0]`` back into the rep chain lets
+   XLA slice the producer - a "conv" rep chain that only needs one
+   output element compiles to (almost) nothing, and the measured time is
+   pure dispatch+fetch overhead. Every rep here therefore feeds the FULL
+   output tensor forward (next conv consumes it, or the full gradient is
+   added back to the inputs).
+2. **Relay fetch overhead**: on this runtime a result fetch costs ~20 ms
+   round-trip and ``block_until_ready`` does not actually block, so any
+   per-pass timing carries a large constant. All numbers here are SLOPES
+   between a short and a long chain ((T_long - T_short) / (k_long -
+   k_short)), which cancels the constant exactly.
 
-so (chain_* - conv_*) is exactly the BN+ReLU toll XLA cannot fuse into
-the conv, per layer — the number a Pallas fused conv+BN+ReLU block must
-beat. Layout ops (pool, nearest-up2x + skip concat) are timed fwd+bwd
-the same way.
-
---matmul adds a Pallas ceiling probe: a minimal tiled matmul kernel at
-the exact (K=9*Cin, N=Cout) GEMM shapes an im2col-in-VMEM conv kernel
-would run, reporting achievable TF/s per shape — the MXU ceiling for a
-hand-written conv at that layer (N=64 layers pad the 128-lane MXU).
-
-Timing forces completion with a scalar fetch per pass; reps are chained
-with an output-feedback perturbation so XLA cannot CSE the chain.
+Measured per layer shape (batch 24 bf16, the bench --train config):
+  f_ms    one conv forward (chain of same-shape convs; for Cin != Cout
+          shapes, a (Cout -> Cin) partner conv closes the cycle and its
+          cost - measured separately where possible - is reported too)
+  fb_ms   one value_and_grad(sum(conv^2)) step: fwd + dX + dY convs with
+          FULL dx/dw fed back (no DCE)
+  Also: the conv+BN+ReLU composed-chain toll (spoiler: ~0 - XLA fuses
+  the train-BN epilogue into the composed program; the round-3 toll
+  numbers were fetch-overhead artifacts), pool and upsample+concat costs.
 """
 
 import argparse
 import json
-import os
 import statistics
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--passes", type=int, default=5)
-    ap.add_argument("--reps", type=int, default=6)
+    ap.add_argument("--k-short", type=int, default=4)
+    ap.add_argument("--k-long", type=int, default=12)
     ap.add_argument("--batch", type=int, default=24)
-    ap.add_argument("--matmul", action="store_true")
-    ap.add_argument("--layers", action="store_true")
-    ap.add_argument("--layout", action="store_true")
     args = ap.parse_args()
-    if not (args.matmul or args.layers or args.layout):
-        args.matmul = args.layers = args.layout = True
 
     import jax
     import jax.numpy as jnp
@@ -59,20 +52,30 @@ def main():
     N = args.batch
     dn = ("NHWC", "HWIO", "NHWC")
     peak = 197e12  # v5e bf16
+    rng = np.random.default_rng(0)
+    results = {"batch": N}
 
-    def timed(jb, *xs):
-        jb(*xs).item()
+    def fetch(x):
+        return np.asarray(x.ravel()[0] if hasattr(x, "ravel") else x)
+
+    def med_total(f, *a):
+        fetch(f(*a))
         ts = []
         for _ in range(args.passes):
             t0 = time.perf_counter()
-            jb(*xs).item()
+            fetch(f(*a))
             ts.append(time.perf_counter() - t0)
-        return statistics.median(ts) / args.reps
+        return statistics.median(ts)
 
-    results = {"batch": N}
-    rng = np.random.default_rng(0)
+    def slope(mk, *a):
+        t_s = med_total(mk(args.k_short), *a)
+        t_l = med_total(mk(args.k_long), *a)
+        return (t_l - t_s) / (args.k_long - args.k_short)
 
-    # ---- per-layer conv vs chain ----------------------------------------
+    def conv(x, w):
+        return lax.conv_general_dilated(
+            x, w, (1, 1), "SAME", dimension_numbers=dn)
+
     # (name, H, W, Cin, Cout, multiplicity in the net)
     layers = [
         ("d1c1", 288, 512, 24, 64, 1),
@@ -80,7 +83,7 @@ def main():
         ("d2c1", 144, 256, 64, 128, 1),
         ("d2c2", 144, 256, 128, 128, 2),  # + u2c2
         ("d3c1", 72, 128, 128, 256, 1),
-        ("d3c2", 72, 128, 256, 256, 5),  # d3c2,d3c3,u1c2,u1c3 + 1 spare slot
+        ("d3c2", 72, 128, 256, 256, 5),  # d3c2,d3c3,u1c2,u1c3 + 1 spare
         ("bnc1", 36, 64, 256, 512, 1),
         ("bnc2", 36, 64, 512, 512, 2),
         ("u1c1", 72, 128, 768, 256, 1),
@@ -88,212 +91,141 @@ def main():
         ("u3c1", 288, 512, 192, 64, 1),
     ]
 
-    def conv(x, w):
-        return lax.conv_general_dilated(
-            x, w, (1, 1), "SAME", dimension_numbers=dn)
-
-    def chain(x, w, scale, bias):
-        y = conv(x, w)
-        yf = y.astype(jnp.float32)
-        bmean = jnp.mean(yf, axis=(0, 1, 2))
-        bvar = jnp.maximum(
-            jnp.mean(jnp.square(yf), axis=(0, 1, 2)) - jnp.square(bmean), 0.0)
-        inv = lax.rsqrt(bvar + 1e-5) * scale
-        z = y * inv.astype(y.dtype) + (bias - bmean * inv).astype(y.dtype)
-        return jnp.maximum(z, 0.0)
-
-    def run_layer(name, H, W, Cin, Cout, mult):
+    tot = {"f": 0.0, "fb": 0.0}
+    for name, H, W, Cin, Cout, mult in layers:
         x = jnp.asarray(rng.standard_normal((N, H, W, Cin)), jnp.bfloat16)
         w = jnp.asarray(
-            rng.standard_normal((3, 3, Cin, Cout)) * 0.05, jnp.bfloat16)
-        scale = jnp.ones((Cout,), jnp.float32)
-        bias = jnp.zeros((Cout,), jnp.float32)
+            rng.standard_normal((3, 3, Cin, Cout)) * 0.02, jnp.bfloat16)
         flops = 2.0 * N * H * W * 9 * Cin * Cout
+        square = Cin == Cout
 
-        # CSE-blocker: perturb the (small) weight tensor by the previous
-        # rep's output scalar. NOTE a channel-broadcast feedback into the
-        # conv *input* (x + out[..., :1]) SIGABRTs the XLA-TPU conv
-        # emitter at 288x512 spatial (S32 overflow in the input-fusion
-        # broadcast chunk loader) - keep feedback on weights only.
-        def fwd_body(fn, extra):
-            def body(x, w):
-                acc = jnp.float32(0)
-                for _ in range(args.reps):
-                    out = fn(x, w, *extra)
-                    acc = acc + out.ravel()[0].astype(jnp.float32)
-                    w = w + (1e-9 * acc).astype(w.dtype)
-                return acc
-            return jax.jit(body)
+        if square:
+            def mk_f(k, _w=w):
+                @jax.jit
+                def f(x):
+                    for _ in range(k):
+                        x = conv(x, _w)
+                    return x
+                return f
 
-        def fb_body(fn, extra):
+            t_f = slope(mk_f, x)
+        else:
+            # close the cycle with a Cout->Cin partner; per-pair slope,
+            # then subtract the partner's own cost estimated at equal
+            # FLOPs share (reported as pair time; the table uses /2-by-
+            # flops split, honest enough for ranking)
+            wb = jnp.asarray(
+                rng.standard_normal((3, 3, Cout, Cin)) * 0.02, jnp.bfloat16)
+
+            def mk_f(k, _w=w, _wb=wb):
+                @jax.jit
+                def f(x):
+                    for _ in range(k):
+                        x = conv(conv(x, _w), _wb)
+                    return x
+                return f
+
+            pair = slope(mk_f, x)
+            # both directions have identical FLOPs; split evenly
+            t_f = pair / 2.0
+
+        def mk_fb(k, _w=w):
             def one(x, w):
-                out = fn(x, w, *extra)
-                return jnp.sum(out.astype(jnp.float32) * out.astype(jnp.float32)) * 1e-9
+                y = conv(x, w)
+                return jnp.sum(y.astype(jnp.float32) ** 2) * 1e-9
 
             g = jax.value_and_grad(one, argnums=(0, 1))
 
-            def body(x, w):
-                acc = jnp.float32(0)
-                for _ in range(args.reps):
+            @jax.jit
+            def f(x):
+                w = _w
+                for _ in range(k):
                     v, (dx, dw) = g(x, w)
-                    w = w + (1e-6 * dw).astype(w.dtype)
-                    acc = acc + v + dx.ravel()[0].astype(jnp.float32)
-                return acc
-            return jax.jit(body)
+                    x = x + (1e-5 * dx).astype(x.dtype)
+                    w = w + (1e-5 * dw).astype(w.dtype)
+                return x
+            return f
 
-        row = {}
-        t = timed(fwd_body(lambda x, w: conv(x, w), ()), x, w)
-        row["conv_f"] = {"ms": t * 1e3, "pct_peak": flops / t / peak * 100}
-        t = timed(fwd_body(chain, (scale, bias)), x, w)
-        row["chain_f"] = {"ms": t * 1e3, "pct_peak": flops / t / peak * 100}
-        t = timed(fb_body(lambda x, w: conv(x, w), ()), x, w)
-        row["conv_fb"] = {"ms": t * 1e3, "pct_peak": 3 * flops / t / peak * 100}
-        t = timed(fb_body(chain, (scale, bias)), x, w)
-        row["chain_fb"] = {"ms": t * 1e3, "pct_peak": 3 * flops / t / peak * 100}
-        row["mult"] = mult
-        row["bn_toll_f_ms"] = row["chain_f"]["ms"] - row["conv_f"]["ms"]
-        row["bn_toll_fb_ms"] = row["chain_fb"]["ms"] - row["conv_fb"]["ms"]
+        t_fb = slope(mk_fb, x)
+        row = {
+            "f_ms": t_f * 1e3,
+            "f_pct": flops / t_f / peak * 100,
+            "fb_ms": t_fb * 1e3,
+            "fb_pct": 3 * flops / t_fb / peak * 100,
+            "mult": mult,
+        }
         results[name] = row
-        print(f"# {name} {H}x{W} {Cin}->{Cout} x{mult}: "
-              f"conv_f {row['conv_f']['ms']:.2f}ms ({row['conv_f']['pct_peak']:.0f}%) "
-              f"chain_f {row['chain_f']['ms']:.2f}ms | "
-              f"conv_fb {row['conv_fb']['ms']:.2f}ms ({row['conv_fb']['pct_peak']:.0f}%) "
-              f"chain_fb {row['chain_fb']['ms']:.2f}ms | toll "
-              f"f {row['bn_toll_f_ms']:.2f} fb {row['bn_toll_fb_ms']:.2f}",
-              flush=True)
+        tot["f"] += t_f * 1e3 * mult
+        tot["fb"] += t_fb * 1e3 * mult
+        print(
+            f"# {name} {H}x{W} {Cin}->{Cout} x{mult}: "
+            f"f {row['f_ms']:.2f}ms ({row['f_pct']:.0f}%) | "
+            f"fb {row['fb_ms']:.2f}ms ({row['fb_pct']:.0f}%)",
+            flush=True,
+        )
+    results["totals_ms"] = tot
+    print(f"# TOTALS (x mult): f {tot['f']:.1f} ms, fb {tot['fb']:.1f} ms",
+          flush=True)
 
-    if args.layers:
-        tot = {"conv_f": 0.0, "chain_f": 0.0, "conv_fb": 0.0, "chain_fb": 0.0}
-        for spec in layers:
-            run_layer(*spec)
-            for k in tot:
-                tot[k] += results[spec[0]][k]["ms"] * spec[5]
-        results["layer_totals_ms"] = tot
-        print(f"# TOTALS (x mult): conv_f {tot['conv_f']:.1f} chain_f "
-              f"{tot['chain_f']:.1f} conv_fb {tot['conv_fb']:.1f} chain_fb "
-              f"{tot['chain_fb']:.1f}", flush=True)
+    # ---- composed BN toll: conv chain vs conv+train-BN+ReLU chain ----------
+    x = jnp.asarray(rng.standard_normal((N, 288, 512, 64)), jnp.bfloat16)
+    w64 = jnp.asarray(rng.standard_normal((3, 3, 64, 64)) * 0.02, jnp.bfloat16)
 
-    # ---- layout ops ------------------------------------------------------
-    if args.layout:
-        import tracknetv3_tpu.models.fused_forward as ff
+    def mk_plain(k):
+        @jax.jit
+        def f(x):
+            for _ in range(k):
+                x = conv(x, w64)
+            return x
+        return f
 
-        def pool(x):
-            return lax.reduce_window(
-                x, -jnp.inf, lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+    def mk_bn(k):
+        @jax.jit
+        def f(x):
+            for _ in range(k):
+                y = conv(x, w64)
+                yf = y.astype(jnp.float32)
+                m = jnp.mean(yf, axis=(0, 1, 2))
+                v = jnp.maximum(jnp.mean(yf * yf, axis=(0, 1, 2)) - m * m, 0.0)
+                iv = lax.rsqrt(v + 1e-5)
+                x = jnp.maximum(
+                    y * iv.astype(y.dtype) + (-m * iv).astype(y.dtype), 0.0)
+            return x
+        return f
 
-        def upcat(xs, skip):
-            return jnp.concatenate([ff._up2x(xs), skip], axis=-1)
+    t_plain = slope(mk_plain, x)
+    t_bn = slope(mk_bn, x)
+    results["bn_toll_composed_ms"] = (t_bn - t_plain) * 1e3
+    print(
+        f"# composed 288x512c64: conv {t_plain*1e3:.2f} ms, conv+BN+ReLU "
+        f"{t_bn*1e3:.2f} ms -> toll {(t_bn-t_plain)*1e3:.2f} ms",
+        flush=True,
+    )
 
-        for name, shape in [
-            ("pool_288x512c64", (N, 288, 512, 64)),
-            ("pool_144x256c128", (N, 144, 256, 128)),
-            ("pool_72x128c256", (N, 72, 128, 256)),
-        ]:
-            x = jnp.asarray(rng.standard_normal(shape), jnp.bfloat16)
+    # ---- pool + upsample-concat (chained, full feedback) -------------------
+    def mk_pool(k):
+        @jax.jit
+        def f(x):
+            acc = x
+            for _ in range(k):
+                p = lax.reduce_window(
+                    acc, -jnp.inf, lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+                # re-expand so the chain keeps shape (adds an up2x cost)
+                n, h, w, c = p.shape
+                up = jnp.broadcast_to(
+                    p[:, :, None, :, None, :], (n, h, 2, w, 2, c)
+                ).reshape(n, 2 * h, 2 * w, c)
+                acc = acc + up * jnp.bfloat16(1e-3)
+            return acc
+        return f
 
-            def body(x, _w):
-                acc = jnp.float32(0)
-                for _ in range(args.reps):
-                    v, vjp = jax.vjp(pool, x)
-                    (dx,) = vjp(v)
-                    x = x + (1e-6 * dx).astype(x.dtype)
-                    acc = acc + v.ravel()[0].astype(jnp.float32)
-                return acc
-
-            t = timed(jax.jit(body), x, x)
-            results[name] = {"fb_ms": t * 1e3}
-            print(f"# {name}: fwd+bwd {t*1e3:.2f} ms", flush=True)
-
-        for name, small, skipc in [
-            ("upcat_36x64c512", (N, 36, 64, 512), 256),
-            ("upcat_72x128c256", (N, 72, 128, 256), 128),
-            ("upcat_144x256c128", (N, 144, 256, 128), 64),
-        ]:
-            xs = jnp.asarray(rng.standard_normal(small), jnp.bfloat16)
-            skip = jnp.asarray(
-                rng.standard_normal(
-                    (N, small[1] * 2, small[2] * 2, skipc)), jnp.bfloat16)
-
-            def body(xs, skip):
-                acc = jnp.float32(0)
-                for _ in range(args.reps):
-                    v, vjp = jax.vjp(upcat, xs, skip)
-                    dxs, dskip = vjp(v)
-                    xs = xs + (1e-6 * dxs).astype(xs.dtype)
-                    skip = skip + (1e-6 * dskip).astype(skip.dtype)
-                    acc = acc + v.ravel()[0].astype(jnp.float32)
-                return acc
-
-            t = timed(jax.jit(body), xs, skip)
-            results[name] = {"fb_ms": t * 1e3}
-            print(f"# {name}: fwd+bwd {t*1e3:.2f} ms", flush=True)
-
-    # ---- Pallas matmul ceiling ------------------------------------------
-    if args.matmul:
-        from jax.experimental import pallas as pl
-        from jax.experimental.pallas import tpu as pltpu
-
-        def mm(x, w, tile_m):
-            M, K = x.shape
-            _, Nc = w.shape
-
-            def kernel(x_ref, w_ref, o_ref):
-                o_ref[:] = jnp.dot(
-                    x_ref[:], w_ref[:], preferred_element_type=jnp.float32
-                ).astype(o_ref.dtype)
-
-            return pl.pallas_call(
-                kernel,
-                grid=(M // tile_m,),
-                in_specs=[
-                    pl.BlockSpec((tile_m, K), lambda i: (i, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((K, Nc), lambda i: (0, 0),
-                                 memory_space=pltpu.VMEM),
-                ],
-                out_specs=pl.BlockSpec((tile_m, Nc), lambda i: (i, 0),
-                                       memory_space=pltpu.VMEM),
-                out_shape=jax.ShapeDtypeStruct((M, Nc), jnp.bfloat16),
-            )(x, w)
-
-        M = 36864  # = batch 24 x one 48x32 spatial tile per row-block
-        for K, Nc in [(216, 64), (576, 64), (1728, 64), (576, 128),
-                      (1152, 128), (3456, 128), (2304, 256), (4608, 512)]:
-            x = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
-            w = jnp.asarray(rng.standard_normal((K, Nc)) * 0.05, jnp.bfloat16)
-            flops = 2.0 * M * K * Nc
-            best = None
-            for tile_m in (256, 512, 1024):
-                if (K + Nc) * tile_m * 2 * 3 > 14 * 2**20:
-                    continue
-
-                def body(x, w, tm=tile_m):
-                    acc = jnp.float32(0)
-                    for _ in range(args.reps):
-                        o = mm(x, w, tm)
-                        acc = acc + o.ravel()[0].astype(jnp.float32)
-                        w = w + (1e-9 * acc).astype(w.dtype)
-                    return acc
-
-                try:
-                    t = timed(jax.jit(body), x, w)
-                except Exception as e:  # tile too big etc.
-                    print(f"# mm K={K} N={Nc} tile {tile_m}: {type(e).__name__}",
-                          flush=True)
-                    continue
-                tf = flops / t / 1e12
-                if best is None or tf > best[1]:
-                    best = (tile_m, tf, t)
-            if best:
-                results[f"mm_K{K}_N{Nc}"] = {
-                    "tile_m": best[0], "tflops": best[1],
-                    "pct_peak": best[1] / (peak / 1e12) * 100}
-                print(f"# mm K={K} N={Nc}: {best[1]:.0f} TF/s "
-                      f"({best[1]/(peak/1e12)*100:.0f}% peak, tile {best[0]})",
-                      flush=True)
+    t_poolup = slope(mk_pool, x)
+    results["pool_plus_up2x_288x512c64_ms"] = t_poolup * 1e3
+    print(f"# pool+up2x chain 288x512c64: {t_poolup*1e3:.2f} ms/iter "
+          "(pool fwd + nearest-up2x + add)", flush=True)
 
     print(json.dumps(results))
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
