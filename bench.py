@@ -37,32 +37,88 @@ import numpy as np
 BASELINE_FPS = 25.11  # reference TrackNetV3 end-to-end (README.md:31)
 
 
+def _ball_path(n, h, w):
+    """The shared ball trajectory (identical across clips so results on
+    the 'dot' and 'hard' content are comparable frame for frame)."""
+    t = np.arange(n)
+    x = (w * 0.1 + w * 0.8 * t / max(n - 1, 1)).astype(int)
+    y = (h * 0.6 - h * 0.4 * np.sin(np.pi * t / max(n - 1, 1))).astype(int)
+    return x, y
+
+
 def make_frames(n, h=720, w=1280, seed=0):
     """Synthetic 720p broadcast-like frames with a moving bright dot."""
     rng = np.random.default_rng(seed)
     bg = np.full((h, w, 3), 70, np.uint8)
     bg += rng.integers(0, 20, size=bg.shape, dtype=np.uint8)
     frames = np.repeat(bg[None], n, axis=0)
+    xs, ys = _ball_path(n, h, w)
     for t in range(n):
-        x = int(w * 0.1 + w * 0.8 * t / max(n - 1, 1))
-        y = int(h * 0.6 - h * 0.4 * np.sin(np.pi * t / max(n - 1, 1)))
+        x, y = int(xs[t]), int(ys[t])
         frames[t, max(0, y - 4) : y + 4, max(0, x - 4) : x + 4] = 255
     return frames
 
 
-def ensure_video(tmpdir, n_frames, h=720, w=1280):
-    """Write the synthetic benchmark video once (static textured court-like
-    background + moving ball dot, like a broadcast feed)."""
+def make_frames_hard(n, h=720, w=1280, seed=0):
+    """Adversarial synthetic clip (VERDICT r3 weak #6): same ball
+    trajectory as :func:`make_frames`, but on court-like TEXTURE
+    (per-pixel noise + line markings), under a MOVING brightness
+    gradient (sweeping highlight, like arena lighting/camera gain), with
+    MOTION BLUR on the ball (streak along its velocity) and a dark
+    OCCLUDER crossing the ball path mid-clip (a 'player' that actually
+    hides the ball for a few frames, exercising visibility-gap logic).
+    The moving content also defeats inter-frame mp4 compression, so the
+    decode stage does real work instead of replaying static blocks."""
+    rng = np.random.default_rng(seed)
+    base = np.full((h, w, 3), 70, np.int16)
+    base += rng.integers(0, 60, size=base.shape, dtype=np.int16)
+    # court line markings: bright horizontals + verticals
+    for fy in (0.35, 0.5, 0.65, 0.8):
+        base[int(h * fy) : int(h * fy) + 3, int(w * 0.1) : int(w * 0.9)] = 210
+    for fx in (0.1, 0.3, 0.5, 0.7, 0.9):
+        base[int(h * 0.35) : int(h * 0.8), int(fx * w) : int(fx * w) + 3] = 210
+    xs, ys = _ball_path(n, h, w)
+    col = np.arange(w, dtype=np.float32)[None, :, None]
+    frames = np.empty((n, h, w, 3), np.uint8)
+    occ_w, occ_h = w // 12, h // 3
+    for t in range(n):
+        # sweeping brightness gradient: a 40-count sine highlight that
+        # pans across the frame twice over the clip
+        phase = 2 * np.pi * (col / w + 2.0 * t / max(n, 1))
+        img = base + (40.0 * np.maximum(np.sin(phase), 0.0)).astype(np.int16)
+        # ball with a 5-step motion-blur streak back along its velocity
+        x, y = int(xs[t]), int(ys[t])
+        px = int(xs[t - 1]) if t else x - 8
+        py = int(ys[t - 1]) if t else y
+        for s, mag in ((0.0, 255), (0.25, 220), (0.5, 190), (0.75, 160)):
+            bx = int(round(x + (px - x) * s))
+            by = int(round(y + (py - y) * s))
+            img[max(0, by - 4) : by + 4, max(0, bx - 4) : bx + 4] = mag
+        # dark occluder ('player') crossing the court right-to-left; its
+        # path intersects the ball's around mid-clip, hiding it
+        ox = int(w * 0.85 - w * 0.75 * t / max(n - 1, 1))
+        oy = int(h * 0.45)
+        img[oy : oy + occ_h, max(0, ox) : max(0, ox) + occ_w] = (30, 40, 35)
+        frames[t] = np.clip(img, 0, 255).astype(np.uint8)
+    return frames
+
+
+def ensure_video(tmpdir, n_frames, h=720, w=1280, clip="dot"):
+    """Write the synthetic benchmark video once. ``clip`` picks content:
+    'dot' (static textured court + moving bright dot) or 'hard' (moving
+    gradients, line markings, motion blur, occluder - see
+    :func:`make_frames_hard`)."""
     import cv2
 
-    path = os.path.join(tmpdir, f"bench_video_{n_frames}_{h}x{w}.mp4")
+    tag = "" if clip == "dot" else f"_{clip}"
+    path = os.path.join(tmpdir, f"bench_video{tag}_{n_frames}_{h}x{w}.mp4")
     if os.path.exists(path):
         cap = cv2.VideoCapture(path)
         ok = int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == n_frames
         cap.release()
         if ok:
             return path
-    frames = make_frames(n_frames, h, w)
+    frames = (make_frames_hard if clip == "hard" else make_frames)(n_frames, h, w)
     vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30, (w, h))
     for f in frames:
         vw.write(f[..., ::-1])
@@ -111,7 +167,7 @@ def run_cold_child(args):
     from tracknetv3_tpu.utils.compile_cache import enable_persistent_cache
 
     cache_dir = enable_persistent_cache()
-    video = ensure_video("/tmp", args.frames)
+    video = ensure_video("/tmp", args.frames, clip=args.clip)
     ckpt = get_checkpoint("/tmp", bg_mode=args.bg_mode)
     ckpt_in = (
         None
@@ -157,13 +213,13 @@ def run_cold(args):
     """
     import subprocess
 
-    ensure_video("/tmp", args.frames)
+    ensure_video("/tmp", args.frames, clip=args.clip)
     get_checkpoint("/tmp", bg_mode=args.bg_mode)
     if not args.tracknet_only:
         get_checkpoint("/tmp", model_name="InpaintNet", seq_len=16, bg_mode="")
     from tracknetv3_tpu.native_video import probe_video
 
-    probe_video(ensure_video("/tmp", args.frames))  # build the .so once
+    probe_video(ensure_video("/tmp", args.frames, clip=args.clip))  # build the .so once
 
     child_cmd = [
         sys.executable,
@@ -173,6 +229,7 @@ def run_cold(args):
         f"--batch_size={args.batch_size}",
         f"--eval_mode={args.eval_mode}",
         f"--bg_mode={args.bg_mode}",
+        f"--clip={args.clip}",
     ] + (["--tracknet_only"] if args.tracknet_only else [])
 
     if not args.assume_warm:
@@ -209,6 +266,7 @@ def run_cold(args):
                 "metric": "720p COLD-start end-to-end FPS, fresh process incl. "
                 "program acquisition (persistent compile cache, "
                 + ("TrackNet, " if args.tracknet_only else "TrackNet+InpaintNet, ")
+                + ("" if args.clip == "dot" else f"{args.clip} clip, ")
                 + "1 chip)",
                 "value": round(fps, 2),
                 "unit": "fps",
@@ -274,7 +332,12 @@ def run_train_bench(args):
     model, variables = get_model("TrackNet", L, bg_mode)
     tx = build_optimizer("Adam", 1e-3)
     state = create_train_state(variables, tx)
-    step = make_tracknet_train_step(tx, bg_mode, alpha=-1, fast_bn=True)
+    step = make_tracknet_train_step(
+        tx, bg_mode, alpha=-1, fast_bn=True,
+        # production default (config.split_up_entry): the measured winner
+        # among the formulation variants (tools/probe_step_variants.py)
+        split_up_entry=True,
+    )
     rng = jax.random.PRNGKey(0)
 
     # compile + FLOP count from the executable itself
@@ -344,7 +407,7 @@ def run_serve_bench(args):
     from tracknetv3_tpu.inference import TrackNetPredictor
 
     lengths = [int(v) for v in args.serve_lengths.split(",")]
-    videos = [ensure_video("/tmp", n) for n in lengths]
+    videos = [ensure_video("/tmp", n, clip=args.clip) for n in lengths]
     ckpt = get_checkpoint("/tmp", bg_mode=args.bg_mode)
     ckpt_in = (
         None
@@ -414,6 +477,12 @@ def main():
     ap.add_argument("--batch_size", type=int, default=120)
     ap.add_argument("--eval_mode", type=str, default="weight")
     ap.add_argument("--bg_mode", type=str, default="concat")
+    ap.add_argument(
+        "--clip", type=str, default="dot", choices=("dot", "hard"),
+        help="synthetic clip content: 'dot' (static textured court + "
+        "moving bright dot) or 'hard' (moving gradients, motion blur, "
+        "occluder crossing the ball path - harder decode AND content)",
+    )
     ap.add_argument("--passes", type=int, default=3)
     ap.add_argument("--quick", action="store_true", help="small run for smoke tests")
     ap.add_argument(
@@ -467,7 +536,7 @@ def main():
 
     from tracknetv3_tpu.inference import TrackNetPredictor
 
-    video = ensure_video("/tmp", args.frames)
+    video = ensure_video("/tmp", args.frames, clip=args.clip)
     ckpt = get_checkpoint("/tmp", bg_mode=args.bg_mode)
     ckpt_in = (
         None
@@ -560,6 +629,7 @@ def main():
                         if args.eval_mode == "weight"
                         else args.eval_mode
                     )
+                    + ("" if args.clip == "dot" else f", {args.clip} clip")
                     + ", 1 chip)"
                 ),
                 "value": round(fps, 2),

@@ -142,3 +142,52 @@ def test_fast_bn_close_to_standard():
         state, loss = step(state, batch, jax.random.fold_in(key, i))
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def test_formulation_variants_parity():
+    """The TPU formulation variants recompute the same math:
+
+    - remat_layers re-executes identical ops in the backward -> bit-equal
+      values and grads in f32;
+    - s2d_first's kernel lift is exact (0/1 coefficient placement) ->
+      bit-equal forward, grads equal to accumulation-order rounding;
+    - split_up_entry changes the entry convs' summation ORDER: one extra
+      f32 rounding of partial sums, chaotically amplified through 13
+      BN/ReLU layers (boundary flips), so values agree loosely and the
+      training trajectory is pinned by convergence instead (the full-step
+      probe converges identically: tools/probe_step_variants.py, loss
+      0.284 -> 0.0174 for base AND split at 12x24 real steps).
+    """
+    import jax.flatten_util as fu
+
+    model, variables, _ = _setup(seq_len=3, bg_mode="")
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 32, 9))
+    P, S = variables["params"], variables["batch_stats"]
+
+    def run(**kw):
+        def loss(p):
+            lo, _ = tracknet_train_forward(
+                p, S, x, train=True, dtype=jnp.float32, **kw
+            )
+            return jnp.mean(jnp.square(lo)), lo
+
+        (_, lo), g = jax.value_and_grad(loss, has_aux=True)(P)
+        return np.asarray(lo, np.float64), np.asarray(
+            fu.ravel_pytree(g)[0], np.float64
+        )
+
+    lo0, g0 = run()
+    for kw, fwd_tol, grad_tol in (
+        ({"remat_layers": True}, 1e-6, 1e-6),
+        # s2d's kernel lift is algebraically exact, but the packed conv
+        # accumulates in a different order; like split, the f32-rounding
+        # delta is chaotically amplified in the GRADIENTS by 13 BN/ReLU
+        # layers (boundary flips), so only the forward is tight.
+        ({"s2d_first": True}, 1e-4, 0.5),
+        ({"split_up_entry": True}, 0.05, 0.5),
+    ):
+        lo, g = run(**kw)
+        fwd = np.linalg.norm(lo - lo0) / np.linalg.norm(lo0)
+        gr = np.linalg.norm(g - g0) / np.linalg.norm(g0)
+        assert fwd < fwd_tol, f"{kw}: fwd relL2 {fwd}"
+        assert gr < grad_tol, f"{kw}: grad relL2 {gr}"

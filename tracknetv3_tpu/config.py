@@ -101,6 +101,15 @@ class TrainConfig:
     # removes two full-resolution f32 round trips per conv layer at the
     # cost of one extra bf16 rounding of the activations.
     fast_bn: bool = False
+    # Split each up block's entry conv along input channels into
+    # conv(up2x(x)) + conv(skip), so the (N, H, W, Cup+Cskip) concat is
+    # never materialized nor stored as a backward residual. Same MACs,
+    # one extra working-dtype rounding of the partial sums. The measured
+    # winner among the TPU formulation variants (-3% step time,
+    # tools/probe_step_variants.py); remat_layers and s2d_first both
+    # LOST at full-step level and stay opt-in research flags on
+    # tracknet_train_forward only.
+    split_up_entry: bool = True
     # Validation decoding rule for best-checkpoint selection: False = the
     # on-device peak-blob kernel (fast), True = the reference's exact
     # largest-bbox-area contour rule on the host (reference test.py:52-79;

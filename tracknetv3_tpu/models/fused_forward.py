@@ -162,6 +162,57 @@ def _up_block_fused(x_small, skip, convs, dtype):
     return x
 
 
+def _pack_s2d(x: jax.Array) -> jax.Array:
+    """Space-to-depth: (N, H, W, C) -> (N, H/2, W/2, 4C), channel blocks
+    ordered (a, b) = (0,0), (0,1), (1,0), (1,1) for original (2i+a, 2j+b)."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    x = jnp.moveaxis(x, (2, 4), (3, 4))  # (n, h2, w2, 2, 2, c)
+    return x.reshape(n, h // 2, w // 2, 4 * c)
+
+
+def _unpack_s2d(y: jax.Array, c: int) -> jax.Array:
+    """Inverse of :func:`_pack_s2d` for the last-axis block count 4."""
+    n, h2, w2, _ = y.shape
+    y = y.reshape(n, h2, w2, 2, 2, c)
+    y = jnp.moveaxis(y, (3, 4), (2, 4))  # (n, h2, 2, w2, 2, c)
+    return y.reshape(n, h2 * 2, w2 * 2, c)
+
+
+def _s2d_kernel_3x3(k: jax.Array) -> jax.Array:
+    """Lift a 3x3 SAME conv kernel to packed space-to-depth space.
+
+    (3, 3, Ci, Co) -> (3, 3, 4Ci, 4Co) such that
+    ``conv(pack(x), lifted) == pack(conv(x, k))`` exactly for even H, W
+    (zero SAME-padding in packed space corresponds to zero rows/cols of
+    the original image). Packed output block (a, b) at packed (I, J) is
+    original output (2I+a, 2J+b); its original tap (di, dj) reads the
+    packed position (I + (a+di+2)//2 - 1, ...) channel block
+    ((a+di) % 2, (b+dj) % 2). 9 of 36 packed tap/block combinations are
+    nonzero (4x the MACs) - a net win only where the original shape
+    starves the MXU (see tools/probe_topres_variants.py). The lift is
+    pure jnp (differentiable), so autodiff yields exact gradients for
+    the ORIGINAL kernel.
+    """
+    ci, co = k.shape[2], k.shape[3]
+    kp = jnp.zeros((3, 3, 4 * ci, 4 * co), k.dtype)
+    for a in (0, 1):
+        for b in (0, 1):
+            ob = 2 * a + b
+            for di in (-1, 0, 1):
+                for dj in (-1, 0, 1):
+                    pi, ia = divmod(a + di + 2, 2)
+                    pj, jb = divmod(b + dj + 2, 2)
+                    ib = 2 * ia + jb
+                    kp = kp.at[
+                        pi - 1 + 1,
+                        pj - 1 + 1,
+                        ib * ci : (ib + 1) * ci,
+                        ob * co : (ob + 1) * co,
+                    ].set(k[di + 1, dj + 1])
+    return kp
+
+
 def tracknet_train_forward(
     params: Dict[str, Any],
     batch_stats: Dict[str, Any],
@@ -172,6 +223,9 @@ def tracknet_train_forward(
     eps: float = 1e-5,
     dtype=jnp.bfloat16,
     fast_bn: bool = False,
+    remat_layers: bool = False,
+    split_up_entry: bool = False,
+    s2d_first: bool = False,
 ) -> Tuple[jax.Array, Dict[str, Any]]:
     """Functional TrackNet forward over the flax parameter tree.
 
@@ -189,77 +243,212 @@ def tracknet_train_forward(
     HBM traffic. Opt-in (config.fast_bn): activation values pick up one
     extra bf16 rounding per layer.
 
+    TPU formulation options (all produce the same function values up to
+    the working dtype's rounding; measured in
+    tools/probe_step_variants.py, wired via config where they win):
+
+    - ``remat_layers``: per conv layer, save only the conv output and the
+      batch statistics for the backward; the normalize+ReLU epilogue is
+      recomputed, letting XLA fuse it into the gradient convs instead of
+      storing a second full-size activation per layer.
+    - ``split_up_entry``: each up block's first conv splits its kernel
+      along input channels into conv(up2x(x)) + conv(skip) - the (N, H,
+      W, Cup+Cskip) concatenation is never materialized (nor stored as a
+      backward residual).
+    - ``s2d_first``: the first conv (whose 24 input channels waste 104 of
+      128 MXU/VPU lanes) runs in space-to-depth space with a lifted
+      kernel; statistics and normalize happen in packed space and the
+      result is unpacked after the ReLU. Requires even H, W (asserted).
+
     Returns (logits f32, new_batch_stats).
     """
+    # Statistics dtype: f32 for the production bf16/f32 paths, f64
+    # when the working dtype is f64 (the multi-host numerics dryrun
+    # runs the whole step in f64 to bound cross-process
+    # reduction-order error; a hardwired f32 here would reintroduce
+    # f32 noise into that bound).
+    stats_dtype = jnp.result_type(jnp.float32, jnp.dtype(dtype))
     new_stats = {k: {} for k, _ in _BLOCKS}
 
-    def conv_bn_relu(x, block, i):
-        sub = f"conv_{i}"
-        kernel = params[block][sub]["conv"]["kernel"].astype(dtype)
+    def conv_out(x, block, i):
+        kernel = params[block][f"conv_{i}"]["conv"]["kernel"].astype(dtype)
         # No preferred_element_type here: its mixed-dtype backward conv is
         # rejected by lax. bf16 output + f32 BN matches flax's semantics.
-        y = jax.lax.conv_general_dilated(
+        return jax.lax.conv_general_dilated(
             x.astype(dtype),
             kernel,
             (1, 1),
             "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        # Statistics dtype: f32 for the production bf16/f32 paths, f64
-        # when the working dtype is f64 (the multi-host numerics dryrun
-        # runs the whole step in f64 to bound cross-process
-        # reduction-order error; a hardwired f32 here would reintroduce
-        # f32 noise into that bound).
-        stats_dtype = jnp.result_type(jnp.float32, jnp.dtype(dtype))
-        if not fast_bn:
-            y = y.astype(stats_dtype)
+
+    def batch_moments(y, repeats: int = 1):
+        """(mean, var) over (N, H, W); with ``repeats`` > 1 the channel
+        axis holds ``repeats`` stacked blocks of the true channels (the
+        space-to-depth layout) that all belong to the same statistic."""
+        yf = y.astype(stats_dtype)  # reductions upcast; fused by XLA
+        if repeats > 1:
+            c = y.shape[-1] // repeats
+            yf = yf.reshape(yf.shape[:-1] + (repeats, c))
+            axes = tuple(range(yf.ndim - 1))
+        else:
+            axes = (0, 1, 2)
+        m = jnp.mean(yf, axis=axes)
+        v = jnp.maximum(jnp.mean(jnp.square(yf), axis=axes) - jnp.square(m), 0.0)
+        return m, v
+
+    def record_stats(block, i, mean, var):
+        sub = f"conv_{i}"
+        new_stats[block][sub] = {
+            "bn": {
+                "mean": momentum * batch_stats[block][sub]["bn"]["mean"]
+                + (1.0 - momentum) * mean,
+                "var": momentum * batch_stats[block][sub]["bn"]["var"]
+                + (1.0 - momentum) * var,
+            }
+        }
+
+    def bn_relu(y, block, i, mean, var, repeats: int = 1):
+        """Normalize + ReLU given the statistics to normalize with."""
+        sub = f"conv_{i}"
         scale = params[block][sub]["bn"]["scale"]
         bias = params[block][sub]["bn"]["bias"]
-        if train:
-            yf = y.astype(stats_dtype)  # reductions upcast; fused by XLA
-            bmean = jnp.mean(yf, axis=(0, 1, 2))
-            bvar = jnp.maximum(
-                jnp.mean(jnp.square(yf), axis=(0, 1, 2)) - jnp.square(bmean), 0.0
-            )
-            new_stats[block][sub] = {
-                "bn": {
-                    "mean": momentum * batch_stats[block][sub]["bn"]["mean"]
-                    + (1.0 - momentum) * bmean,
-                    "var": momentum * batch_stats[block][sub]["bn"]["var"]
-                    + (1.0 - momentum) * bvar,
-                }
-            }
-            mean, var = bmean, bvar
-        else:
-            mean = batch_stats[block][sub]["bn"]["mean"]
-            var = batch_stats[block][sub]["bn"]["var"]
         inv = jax.lax.rsqrt(var + eps) * scale
         if fast_bn:
-            # fold (mean, inv, bias) into a single bf16 multiply-add
-            y = y * inv.astype(dtype) + (bias - mean * inv).astype(dtype)
-            return jnp.maximum(y, 0.0)
-        y = (y - mean) * inv + bias
-        return jnp.maximum(y, 0.0).astype(dtype)
+            # fold (mean, inv, bias) into a single working-dtype FMA
+            shift = bias - mean * inv
+            if repeats > 1:
+                inv, shift = jnp.tile(inv, repeats), jnp.tile(shift, repeats)
+            z = y * inv.astype(dtype) + shift.astype(dtype)
+            return jnp.maximum(z, 0.0)
+        if repeats > 1:
+            inv, mean, bias = (
+                jnp.tile(inv, repeats), jnp.tile(mean, repeats),
+                jnp.tile(bias, repeats),
+            )
+        # keep the (y - mean) * inv + bias association: bit-identical to
+        # the pre-variant formulation of this forward
+        z = (y.astype(stats_dtype) - mean) * inv + bias
+        return jnp.maximum(z, 0.0).astype(dtype)
 
-    def block(x, name, n):
-        for i in range(1, n + 1):
+    if remat_layers:
+        from jax.ad_checkpoint import checkpoint_name
+
+        saveable = jax.checkpoint_policies.save_only_these_names(
+            "conv_out", "bn_stats"
+        )
+    else:
+        checkpoint_name = None
+        saveable = None
+
+    def conv_bn_relu(x, block, i, y_pre=None):
+        """One conv->BN->ReLU layer. ``y_pre`` supplies an externally
+        computed pre-activation (the split up-block entry) - the conv is
+        then skipped and only the BN+ReLU epilogue runs."""
+
+        def layer(x, y_pre):
+            y = conv_out(x, block, i) if y_pre is None else y_pre
+            if remat_layers:
+                y = checkpoint_name(y, "conv_out")
+            if train:
+                mean, var = batch_moments(y)
+                if remat_layers:
+                    mean = checkpoint_name(mean, "bn_stats")
+                    var = checkpoint_name(var, "bn_stats")
+            else:
+                mean = batch_stats[block][f"conv_{i}"]["bn"]["mean"]
+                var = batch_stats[block][f"conv_{i}"]["bn"]["var"]
+            return bn_relu(y, block, i, mean, var), (mean, var)
+
+        if remat_layers:
+            layer = jax.checkpoint(layer, policy=saveable)
+        out, (mean, var) = layer(x, y_pre)
+        if train:
+            record_stats(block, i, mean, var)
+        return out
+
+    def block(x, name, n, start=1):
+        for i in range(start, n + 1):
             x = conv_bn_relu(x, name, i)
         return x
 
+    def first_layer(x):
+        """down_block_1/conv_1 - optionally in space-to-depth space."""
+        h, w = x.shape[1:3]
+        if not (s2d_first and h % 2 == 0 and w % 2 == 0):
+            return conv_bn_relu(x, "down_block_1", 1)
+        co = params["down_block_1"]["conv_1"]["conv"]["kernel"].shape[-1]
+
+        def layer(x):
+            kernel = params["down_block_1"]["conv_1"]["conv"]["kernel"]
+            kp = _s2d_kernel_3x3(kernel.astype(dtype))
+            yp = jax.lax.conv_general_dilated(
+                _pack_s2d(x.astype(dtype)),
+                kp,
+                (1, 1),
+                "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            if remat_layers:
+                yp = checkpoint_name(yp, "conv_out")
+            if train:
+                mean, var = batch_moments(yp, repeats=4)
+                if remat_layers:
+                    mean = checkpoint_name(mean, "bn_stats")
+                    var = checkpoint_name(var, "bn_stats")
+            else:
+                mean = batch_stats["down_block_1"]["conv_1"]["bn"]["mean"]
+                var = batch_stats["down_block_1"]["conv_1"]["bn"]["var"]
+            zp = bn_relu(yp, "down_block_1", 1, mean, var, repeats=4)
+            return _unpack_s2d(zp, co), (mean, var)
+
+        if remat_layers:
+            layer = jax.checkpoint(layer, policy=saveable)
+        out, (mean, var) = layer(x)
+        if train:
+            record_stats("down_block_1", 1, mean, var)
+        return out
+
+    def up_entry(x_small, skip, name, n):
+        """Up block: 2x nearest-upsample, concat with the skip, then the
+        conv block (reference model.py:57-73). With ``split_up_entry``
+        the entry conv's kernel is split along input channels so the
+        concatenation is never built: conv(concat([u, s]), k) ==
+        conv(u, k[:, :, :Cu]) + conv(s, k[:, :, Cu:]) (same MACs; the
+        two partial sums round once more in the working dtype)."""
+        if not split_up_entry:
+            x = jnp.concatenate([_up2x(x_small), skip], axis=-1)
+            return block(x, name, n)
+        kernel = params[name]["conv_1"]["conv"]["kernel"].astype(dtype)
+        cu = x_small.shape[-1]
+        y = jax.lax.conv_general_dilated(
+            _up2x(x_small).astype(dtype),
+            kernel[:, :, :cu],
+            (1, 1),
+            "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + jax.lax.conv_general_dilated(
+            skip.astype(dtype),
+            kernel[:, :, cu:],
+            (1, 1),
+            "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        x = conv_bn_relu(None, name, 1, y_pre=y)
+        return block(x, name, n, start=2)
+
     x = x.astype(dtype)
-    x1 = block(x, "down_block_1", 2)
+    x1 = first_layer(x)
+    x1 = conv_bn_relu(x1, "down_block_1", 2)
     x = _pool(x1)
     x2 = block(x, "down_block_2", 2)
     x = _pool(x2)
     x3 = block(x, "down_block_3", 3)
     x = _pool(x3)
     x = block(x, "bottleneck", 3)
-    x = jnp.concatenate([_up2x(x), x3], axis=-1)
-    x = block(x, "up_block_1", 3)
-    x = jnp.concatenate([_up2x(x), x2], axis=-1)
-    x = block(x, "up_block_2", 2)
-    x = jnp.concatenate([_up2x(x), x1], axis=-1)
-    x = block(x, "up_block_3", 2)
+    x = up_entry(x, x3, "up_block_1", 3)
+    x = up_entry(x, x2, "up_block_2", 2)
+    x = up_entry(x, x1, "up_block_3", 2)
     logits = (
         jax.lax.conv_general_dilated(
             x,

@@ -323,7 +323,8 @@ def train(config: TrainConfig, data_dir: str = "data", verbose_print=print) -> D
 
     if cfg.model_name == "TrackNet":
         train_step = make_tracknet_train_step(
-            tx, cfg.bg_mode, cfg.alpha, fast_bn=cfg.fast_bn
+            tx, cfg.bg_mode, cfg.alpha, fast_bn=cfg.fast_bn,
+            split_up_entry=getattr(cfg, "split_up_entry", True),
         )
         eval_step = make_tracknet_eval_step(cfg.bg_mode)
         eval_fn = lambda s: eval_tracknet(  # noqa: E731

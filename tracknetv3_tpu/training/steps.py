@@ -164,6 +164,8 @@ def sample_mixup(rng, x, y, alpha: float):
 def make_tracknet_train_step(
     tx, bg_mode: str, alpha: float, pallas_loss: Optional[bool] = None,
     fast_bn: bool = False, dtype=jnp.bfloat16,
+    remat_layers: bool = False, split_up_entry: bool = False,
+    s2d_first: bool = False,
 ):
     """Jitted TrackNet train step.
 
@@ -214,7 +216,8 @@ def make_tracknet_train_step(
         def loss_fn(params):
             logits, new_stats = tracknet_train_forward(
                 params, state.batch_stats, x, train=True, fast_bn=fast_bn,
-                dtype=dtype,
+                dtype=dtype, remat_layers=remat_layers,
+                split_up_entry=split_up_entry, s2d_first=s2d_first,
             )
             if use_pallas:
                 return pw.wbce_disk_loss(logits, *targets), new_stats

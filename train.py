@@ -32,6 +32,11 @@ def main():
     parser.add_argument("--fast_bn", action="store_true", default=False,
                         help="apply BatchNorm in bf16 (stats stay f32): cuts two "
                         "full-res f32 memory round trips per conv layer")
+    parser.add_argument("--no_split_up_entry", dest="split_up_entry",
+                        action="store_false", default=True,
+                        help="materialize the up-block concats instead of "
+                        "splitting the entry conv kernel (slower; bit-matches "
+                        "the concat formulation)")
     parser.add_argument("--resident_frames", action="store_true", default=False,
                         help="stage ALL split frames to device memory once; each "
                         "step then ships only window indices (TrackNet, single "
