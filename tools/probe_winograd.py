@@ -86,26 +86,33 @@ def winograd_fwd(x, k, core_dtype):
     y = jnp.einsum("rp,pbijd->rbijd", t_out, m)  # (4, B, ho, wo, Co)
     # scatter the 2x2 output phases back: y[r = 2*dy + dx] -> (2i+dy, 2j+dx)
     y = y.reshape(2, 2, B, ho, wo, Co)
-    y = jnp.moveaxis(y, (0, 1), (3, 5))  # (B, ho, 2, wo, 2, Co)
+    y = jnp.moveaxis(y, (0, 1), (2, 4))  # (B, ho, 2, wo, 2, Co)
     return y.reshape(B, H, W, Co)
 
 
-def timeit(fn, *args, passes=6, inner=4):
+def timeit(fn, *args, passes=5, reps=6):
+    """Output-feedback chained timing (probe_layer_budget methodology):
+    one jitted body runs ``reps`` dependent invocations, a scalar fetch
+    forces completion; the fetch constant amortizes over reps."""
     import jax
+    import jax.numpy as jnp
 
-    c = jax.jit(fn).lower(*args).compile()
-    out = c(*args)
-    jax.block_until_ready(out)
+    def body(*xs):
+        x0, rest = xs[0], xs[1:]
+        acc = jnp.float32(0)
+        for _ in range(reps):
+            out = fn(x0, *rest)
+            acc = acc + out.ravel()[0].astype(jnp.float32)
+            x0 = x0 + (1e-6 * acc).astype(x0.dtype)
+        return acc
+    jb = jax.jit(body)
+    jb(*args).item()
     ts = []
     for _ in range(passes):
-        t0 = time.time()
-        for _ in range(inner):
-            out = c(*args)
-        jax.block_until_ready(out)
-        # force one scalar fetch so the runtime can't elide the chain
-        np.asarray(jax.tree.leaves(out)[0].ravel()[0])
-        ts.append((time.time() - t0) / inner)
-    return statistics.median(ts) * 1e3, out
+        t0 = time.perf_counter()
+        jb(*args).item()
+        ts.append(time.perf_counter() - t0)
+    return statistics.median(ts) / reps * 1e3
 
 
 def main():
@@ -143,7 +150,8 @@ def main():
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
 
-        ms_direct, y_ref = timeit(direct, x, k)
+        ms_direct = timeit(direct, x, k)
+        y_ref = jax.jit(direct)(x, k)
 
         # im2col ideal: one dense matmul at the same useful MACs
         xm = jnp.asarray(
@@ -152,7 +160,7 @@ def main():
         km = jnp.asarray(
             rng.standard_normal((9 * Ci, Co), np.float32), jnp.bfloat16
         )
-        ms_im2col, _ = timeit(lambda a, b: a @ b, xm, km)
+        ms_im2col = timeit(lambda a, b: a @ b, xm, km)
 
         # Winograd core ideal: the batched (16, M, Ci) x (16, Ci, Co)
         M = B * (H // 2) * (W // 2)
@@ -162,7 +170,7 @@ def main():
         uw = jnp.asarray(
             rng.standard_normal((16, Ci, Co), np.float32), jnp.bfloat16
         )
-        ms_wcore, _ = timeit(
+        ms_wcore = timeit(
             lambda a, b: jax.lax.dot_general(
                 a, b, (((2,), (1,)), ((0,), (0,)))
             ),
@@ -171,9 +179,9 @@ def main():
         wino_core_flops = 2.0 * 16 * M * Ci * Co
 
         # full plain-XLA Winograd + numerics vs direct
-        ms_wino, y_w = timeit(
-            functools.partial(winograd_fwd, core_dtype=jnp.bfloat16), x, k
-        )
+        wf = functools.partial(winograd_fwd, core_dtype=jnp.bfloat16)
+        ms_wino = timeit(wf, x, k)
+        y_w = jax.jit(wf)(x, k)
         err = float(
             jnp.max(jnp.abs(y_w.astype(jnp.float32) - y_ref.astype(jnp.float32)))
         )
