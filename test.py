@@ -123,6 +123,11 @@ def main():
         verbose=args.verbose,
     )
     res_dict = get_test_res(pred_dict, args.data_dir, drop=args.split == "test")
+    # Multi-host (jax.distributed): every process holds the identical merged
+    # pred_dict after engine.test(); only process 0 writes the artifacts.
+    import jax
+
+    is_main = jax.process_index() == 0
     if engine.last_eval_stats:
         res_dict["eval_speed"] = engine.last_eval_stats
         print(
@@ -130,18 +135,19 @@ def main():
             f"{engine.last_eval_stats['seconds']}s = "
             f"{engine.last_eval_stats['fps']} FPS"
         )
-    with open(eval_res_file, "w") as f:
-        json.dump(res_dict, f, indent=2)
-    print(json.dumps(res_dict, indent=2))
+    if is_main:
+        with open(eval_res_file, "w") as f:
+            json.dump(res_dict, f, indent=2)
+        print(json.dumps(res_dict, indent=2))
 
-    if args.output_pred:
+    if args.output_pred and is_main:
         serializable_pd = {
             k: v for k, v in param_dict.items() if isinstance(v, (str, int, float, bool))
         }
         with open(eval_analysis_file, "w") as f:
             json.dump(dict(param_dict=serializable_pd, pred_dict=pred_dict), f, indent=2)
 
-    if args.output_bbox:
+    if args.output_bbox and is_main:
         from tracknetv3_tpu.evaluation.coco import (
             convert_gt_to_coco_json,
             evaluate_ap,

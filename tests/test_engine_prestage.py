@@ -36,24 +36,17 @@ def tiny_rally(tmp_path):
     return str(tmp_path), str(rally_dir)
 
 
-def test_prestaged_equals_lazy(tiny_rally, monkeypatch):
+def test_prestaged_equals_lazy(tiny_rally):
     data_dir, rally_dir = tiny_rally
     # tiny model resolution so the 32x64 PNGs are used as-is (the full
     # 288x512 model is minutes-slow on the CPU test runner)
-    import tracknetv3_tpu.data.dataset as ds
-    import tracknetv3_tpu.evaluation.test_engine as te
-
-    monkeypatch.setattr(ds, "HEIGHT", 32)
-    monkeypatch.setattr(ds, "WIDTH", 64)
-    monkeypatch.setattr(te, "HEIGHT", 32)
-    monkeypatch.setattr(te, "WIDTH", 64)
 
     model, variables = get_model("TrackNet", 3, "")
     engine = RallyTestEngine(
         (model, variables), tracknet_seq_len=3, bg_mode="", eval_mode="weight",
-        batch_size=4,
+        batch_size=4, input_hw=(32, 64)
     )
-    cache = FrameCache(data_dir, "")
+    cache = FrameCache(data_dir, "", input_hw=(32, 64))
     frame_ids = np.arange(9)
 
     lazy = engine.predict_rally_heatmap(cache, rally_dir, frame_ids)
@@ -67,48 +60,36 @@ def test_prestaged_equals_lazy(tiny_rally, monkeypatch):
         np.testing.assert_array_equal(np.asarray(lazy[k]), np.asarray(staged[k]))
 
 
-def test_prestage_skipped_when_inpaintnet_active(tiny_rally, monkeypatch):
+def test_prestage_skipped_when_inpaintnet_active(tiny_rally):
     """The InpaintNet eval path never touches frames (it reads
     predicted_csv trajectories), so prestage must not upload/pin them."""
-    import tracknetv3_tpu.data.dataset as ds
-    import tracknetv3_tpu.evaluation.test_engine as te
 
     data_dir, rally_dir = tiny_rally
-    monkeypatch.setattr(ds, "HEIGHT", 32)
-    monkeypatch.setattr(ds, "WIDTH", 64)
-    monkeypatch.setattr(te, "HEIGHT", 32)
-    monkeypatch.setattr(te, "WIDTH", 64)
 
     tn = get_model("TrackNet", 3, "")
     inp = get_model("InpaintNet", 16, "")
     engine = RallyTestEngine(
         tn, inpaintnet=inp, tracknet_seq_len=3, bg_mode="", eval_mode="weight",
-        batch_size=4,
+        batch_size=4, input_hw=(32, 64)
     )
-    cache = FrameCache(data_dir, "")
+    cache = FrameCache(data_dir, "", input_hw=(32, 64))
     assert engine.prestage(data_dir, [rally_dir], cache) == 0
     assert not engine._staged_rallies
 
 
-def test_collect_program_shared_across_rally_lengths(tiny_rally, monkeypatch):
+def test_collect_program_shared_across_rally_lengths(tiny_rally):
     """Rallies of different lengths (same 128-frame bucket) must reuse one
     compiled collect program - per-length keys would compile a distinct
     XLA program per rally on the seconds-to-minutes remote compiler."""
-    import tracknetv3_tpu.data.dataset as ds
-    import tracknetv3_tpu.evaluation.test_engine as te
 
     data_dir, rally_dir = tiny_rally
-    monkeypatch.setattr(ds, "HEIGHT", 32)
-    monkeypatch.setattr(ds, "WIDTH", 64)
-    monkeypatch.setattr(te, "HEIGHT", 32)
-    monkeypatch.setattr(te, "WIDTH", 64)
 
     model, variables = get_model("TrackNet", 3, "")
     engine = RallyTestEngine(
         (model, variables), tracknet_seq_len=3, bg_mode="", eval_mode="weight",
-        batch_size=4,
+        batch_size=4, input_hw=(32, 64)
     )
-    cache = FrameCache(data_dir, "")
+    cache = FrameCache(data_dir, "", input_hw=(32, 64))
     engine.predict_rally_heatmap(cache, rally_dir, np.arange(9))
     n_programs = len(engine._jit_cache)
     # shorter rally, same Tp bucket, different chunk-valid counts (S=5 vs 7)
@@ -116,27 +97,21 @@ def test_collect_program_shared_across_rally_lengths(tiny_rally, monkeypatch):
     assert len(engine._jit_cache) == n_programs
 
 
-def test_sharded_eval_matches_single_device(tiny_rally, monkeypatch):
+def test_sharded_eval_matches_single_device(tiny_rally):
     """RallyTestEngine(mesh=...): window batches sharded over the 8-device
     data mesh must produce the same rally predictions as single-device."""
-    import tracknetv3_tpu.data.dataset as ds
-    import tracknetv3_tpu.evaluation.test_engine as te
     from tracknetv3_tpu.parallel.mesh import make_mesh
 
     data_dir, rally_dir = tiny_rally
-    monkeypatch.setattr(ds, "HEIGHT", 32)
-    monkeypatch.setattr(ds, "WIDTH", 64)
-    monkeypatch.setattr(te, "HEIGHT", 32)
-    monkeypatch.setattr(te, "WIDTH", 64)
 
     model, variables = get_model("TrackNet", 3, "")
-    cache = FrameCache(data_dir, "")
+    cache = FrameCache(data_dir, "", input_hw=(32, 64))
     frame_ids = np.arange(9)
     preds = {}
     for mesh in (None, make_mesh(8)):
         engine = RallyTestEngine(
             (model, variables), tracknet_seq_len=3, bg_mode="",
-            eval_mode="weight", batch_size=8, mesh=mesh,
+            eval_mode="weight", batch_size=8, mesh=mesh, input_hw=(32, 64),
         )
         preds[mesh is None] = engine.predict_rally_heatmap(
             cache, rally_dir, frame_ids
@@ -150,30 +125,24 @@ def test_sharded_eval_matches_single_device(tiny_rally, monkeypatch):
     np.testing.assert_allclose(preds[True]["conf"], preds[False]["conf"], atol=1e-3)
 
 
-def test_rally_overlap_matches_offline(tiny_rally, monkeypatch):
+def test_rally_overlap_matches_offline(tiny_rally):
     """Carried-tail rally evaluation == forward-all-windows + offline
     ensemble + decode."""
     import jax.numpy as jnp
 
-    import tracknetv3_tpu.data.dataset as ds
-    import tracknetv3_tpu.evaluation.test_engine as te
     from tracknetv3_tpu.models.fused_forward import tracknet_fused_forward
     from tracknetv3_tpu.ops.detect import decode_heatmaps
     from tracknetv3_tpu.ops.ensemble import ensemble_offline
     from tracknetv3_tpu.ops.preprocess import gather_windows, window_channels
 
     data_dir, rally_dir = tiny_rally
-    monkeypatch.setattr(ds, "HEIGHT", 32)
-    monkeypatch.setattr(ds, "WIDTH", 64)
-    monkeypatch.setattr(te, "HEIGHT", 32)
-    monkeypatch.setattr(te, "WIDTH", 64)
 
     model, variables = get_model("TrackNet", 3, "")
     engine = RallyTestEngine(
         (model, variables), tracknet_seq_len=3, bg_mode="", eval_mode="weight",
-        batch_size=4,
+        batch_size=4, input_hw=(32, 64)
     )
-    cache = FrameCache(data_dir, "")
+    cache = FrameCache(data_dir, "", input_hw=(32, 64))
     T = 9
     got = engine.predict_rally_heatmap(cache, rally_dir, np.arange(T))
 
@@ -194,7 +163,7 @@ def test_rally_overlap_matches_offline(tiny_rally, monkeypatch):
 
 
 @pytest.mark.parametrize("eval_mode", ["weight", "nonoverlap"])
-def test_exact_decode_agrees_on_peak_blob(tiny_rally, monkeypatch, eval_mode):
+def test_exact_decode_agrees_on_peak_blob(tiny_rally, eval_mode):
     """--exact_decode (host largest-bbox-area rule) must agree with the
     on-device peak-blob decoder wherever the heatmaps are effectively
     single-blob; on disagreement frames the exact path is authoritative.
@@ -203,27 +172,21 @@ def test_exact_decode_agrees_on_peak_blob(tiny_rally, monkeypatch, eval_mode):
     agreement of the visibility pattern, and bit-equality of both paths'
     own ensembled inputs (same forward/ensemble, different decode rule
     only)."""
-    import tracknetv3_tpu.data.dataset as ds
-    import tracknetv3_tpu.evaluation.test_engine as te
     from tracknetv3_tpu.ops.detect import decode_heatmaps_host
 
     data_dir, rally_dir = tiny_rally
-    monkeypatch.setattr(ds, "HEIGHT", 32)
-    monkeypatch.setattr(ds, "WIDTH", 64)
-    monkeypatch.setattr(te, "HEIGHT", 32)
-    monkeypatch.setattr(te, "WIDTH", 64)
 
     model, variables = get_model("TrackNet", 3, "")
     frame_ids = np.arange(9)
-    cache = FrameCache(data_dir, "")
+    cache = FrameCache(data_dir, "", input_hw=(32, 64))
 
     dev = RallyTestEngine(
         (model, variables), tracknet_seq_len=3, bg_mode="", eval_mode=eval_mode,
-        batch_size=4,
+        batch_size=4, input_hw=(32, 64)
     )
     exact = RallyTestEngine(
         (model, variables), tracknet_seq_len=3, bg_mode="", eval_mode=eval_mode,
-        batch_size=4, exact_decode=True,
+        batch_size=4, exact_decode=True, input_hw=(32, 64),
     )
     out_dev = dev.predict_rally_heatmap(cache, rally_dir, frame_ids)
     out_exact = exact.predict_rally_heatmap(cache, rally_dir, frame_ids)
@@ -265,8 +228,7 @@ def test_exact_decode_picks_largest_bbox_area(tmp_path):
 
 
 @pytest.mark.parametrize("exact_decode", [False, True])
-def test_mask_data_generation_with_exact_decode(tiny_rally, monkeypatch,
-                                                exact_decode):
+def test_mask_data_generation_with_exact_decode(tiny_rally, exact_decode):
     """The InpaintNet training-data flow (engine.test(save_inpaint_mask=True),
     what generate_mask_data.py drives) must accept exact_decode so the full
     reference recipe can run under the reference's largest-bbox-area decode
@@ -275,19 +237,13 @@ def test_mask_data_generation_with_exact_decode(tiny_rally, monkeypatch,
     single-blob heatmaps they agree."""
     import pandas as pd
 
-    import tracknetv3_tpu.data.dataset as ds
-    import tracknetv3_tpu.evaluation.test_engine as te
 
     data_dir, rally_dir = tiny_rally
-    monkeypatch.setattr(ds, "HEIGHT", 32)
-    monkeypatch.setattr(ds, "WIDTH", 64)
-    monkeypatch.setattr(te, "HEIGHT", 32)
-    monkeypatch.setattr(te, "WIDTH", 64)
 
     model, variables = get_model("TrackNet", 3, "")
     engine = RallyTestEngine(
         (model, variables), tracknet_seq_len=3, bg_mode="", eval_mode="weight",
-        batch_size=4, exact_decode=exact_decode,
+        batch_size=4, exact_decode=exact_decode, input_hw=(32, 64),
     )
     engine.test(data_dir, "test", save_inpaint_mask=True)
     csv = os.path.join(

@@ -65,12 +65,14 @@ class RallyTestEngine:
         num_workers: int = 0,  # accepted for CLI parity; unused (no worker procs)
         mesh=None,  # jax.sharding.Mesh: shard window batches across chips
         exact_decode: bool = False,  # host largest-bbox-area decode rule
+        input_hw=None,  # (H, W) model resolution; default config HEIGHT x WIDTH
     ):
         self.tracknet = tracknet
         self.inpaintnet = inpaintnet
         self.seq_len = tracknet_seq_len
         self.inpaint_seq_len = inpaintnet_seq_len
         self.bg_mode = bg_mode
+        self.h, self.w = input_hw if input_hw is not None else (HEIGHT, WIDTH)
         self.eval_mode = eval_mode
         self.batch_size = batch_size
         self.tolerance = tolerance
@@ -469,7 +471,7 @@ class RallyTestEngine:
         df = read_label_csv(csv_file)
         T = len(df)
         L = self.inpaint_seq_len
-        norm = np.asarray([WIDTH, HEIGHT], np.float32)
+        norm = np.asarray([self.w, self.h], np.float32)
 
         S = len(data["id"])
         pad_S = self._pad_bucket(max(S + L - 1, 1), 64)
@@ -497,7 +499,7 @@ class RallyTestEngine:
             refined = np.asarray(jnp.where(th[..., None], 0.0, ens))[:T]
 
         return {
-            "refined": refined,  # (T, 2) normalized by (WIDTH, HEIGHT)
+            "refined": refined,  # (T, 2) normalized by (self.w, self.h)
             "coor_gt": df[["X_GT", "Y_GT"]].to_numpy(np.float32) / norm,
             "coor_pred": df[["X", "Y"]].to_numpy(np.float32) / norm,
             "frame": df["Frame"].to_numpy(np.int64),
@@ -523,13 +525,13 @@ class RallyTestEngine:
         if save_inpaint_mask:
             w_s, h_s = 1.0, 1.0
         else:
-            w_s, h_s = w / WIDTH, h / HEIGHT
+            w_s, h_s = w / self.w, h / self.h
 
         if self.inpaintnet is None:
             frame_ids = df["Frame"].to_numpy(np.int64)
             dec = self.predict_rally_heatmap(cache, rally_dir, frame_ids)
             cx_t, cy_t = gt_center_from_label(
-                df["X"].to_numpy(), df["Y"].to_numpy(), w / WIDTH, h / HEIGHT
+                df["X"].to_numpy(), df["Y"].to_numpy(), w / self.w, h / self.h
             )
             types = classify_detections(
                 dec["cx"], dec["cy"], cx_t, cy_t, self.tolerance
@@ -570,10 +572,10 @@ class RallyTestEngine:
             return pred
         else:
             out = self.predict_rally_coordinate(rally_dir)
-            cx_p = (out["refined"][:, 0] * WIDTH).astype(np.int64)
-            cy_p = (out["refined"][:, 1] * HEIGHT).astype(np.int64)
-            cx_t = (out["coor_gt"][:, 0] * WIDTH).astype(np.int64)
-            cy_t = (out["coor_gt"][:, 1] * HEIGHT).astype(np.int64)
+            cx_p = (out["refined"][:, 0] * self.w).astype(np.int64)
+            cy_p = (out["refined"][:, 1] * self.h).astype(np.int64)
+            cx_t = (out["coor_gt"][:, 0] * self.w).astype(np.int64)
+            cy_t = (out["coor_gt"][:, 1] * self.h).astype(np.int64)
             types = classify_detections(cx_p, cy_p, cx_t, cy_t, self.tolerance)
             vis = (np.maximum(cx_p, cy_p) > 0).astype(int)
             return {
@@ -596,7 +598,7 @@ class RallyTestEngine:
 
         with Image.open(os.path.join(rally_dir, "0.png")) as im:
             w, h = im.size
-        w_s, h_s = w / WIDTH, h / HEIGHT
+        w_s, h_s = w / self.w, h / self.h
 
         x_in = np.asarray(pred["X"], np.float64) / w_s
         y_in = np.asarray(pred["Y"], np.float64) / h_s
@@ -604,8 +606,8 @@ class RallyTestEngine:
         x_interp = linear_interp(x_in, mask)
         y_interp = linear_interp(y_in, mask)
 
-        cx_t = (df["X"].to_numpy(np.float64) / w * WIDTH).astype(np.int64)
-        cy_t = (df["Y"].to_numpy(np.float64) / h * HEIGHT).astype(np.int64)
+        cx_t = (df["X"].to_numpy(np.float64) / w * self.w).astype(np.int64)
+        cy_t = (df["Y"].to_numpy(np.float64) / h * self.h).astype(np.int64)
         cx_p = x_interp.astype(np.int64)
         cy_p = y_interp.astype(np.int64)
         types = classify_detections(cx_p, cy_p, cx_t, cy_t, self.tolerance)
@@ -639,13 +641,22 @@ class RallyTestEngine:
         ]
         if debug:
             rally_dirs = rally_dirs[:1]
-        cache = FrameCache(data_dir, self.bg_mode)
+        # Multi-host: rallies are sharded round-robin across jax.distributed
+        # processes (round-robin, not contiguous blocks, so long and short
+        # rallies spread evenly); each process prestages/evaluates only its
+        # shard and the per-rally pred dicts merge by all-gather at the end,
+        # leaving every process with the identical full pred_dict. The
+        # reference has no distributed path (SURVEY SS2 parallelism row); this
+        # is the multi-host extension contract for the rally test engine.
+        pc, pi = jax.process_count(), jax.process_index()
+        my_rallies = rally_dirs if pc == 1 else rally_dirs[pi::pc]
+        cache = FrameCache(data_dir, self.bg_mode, input_hw=(self.h, self.w))
         t0 = time.time()
         if self.tracknet is not None and not use_linear_interp:
-            n_staged = self.prestage(data_dir, rally_dirs, cache)
+            n_staged = self.prestage(data_dir, my_rallies, cache)
             if verbose:
-                print(f"  prestaged {n_staged}/{len(rally_dirs)} rallies")
-        for rally_dir in rally_dirs:
+                print(f"  prestaged {n_staged}/{len(my_rallies)} rallies")
+        for rally_dir in my_rallies:
             match_dir, rally_id = parse_rally_dir(rally_dir)
             match_id = match_dir.split("match")[-1]
             rally_key = f"{match_id}_{rally_id}"
@@ -671,6 +682,8 @@ class RallyTestEngine:
                     os.path.join(out_dir, f"{rally_id}_ball.csv"),
                     save_inpaint_mask=True,
                 )
+        if pc > 1:
+            pred_dict = self._merge_pred_dicts(pred_dict, rally_dirs)
         seconds = time.time() - t0
         frames = sum(len(p["Frame"]) for p in pred_dict.values())
         self.last_eval_stats = dict(
@@ -679,6 +692,41 @@ class RallyTestEngine:
             fps=round(frames / seconds, 2) if seconds > 0 else 0.0,
         )
         return pred_dict
+
+    @staticmethod
+    def _merge_pred_dicts(local: Dict[str, Dict], rally_dirs) -> Dict[str, Dict]:
+        """All-gather each process's per-rally pred dicts and merge them in
+        the canonical split order.
+
+        The dicts are ragged (one entry per rally, variable frame counts),
+        so they ride as JSON bytes padded to the global max length: an
+        initial int64 all-gather exchanges payload sizes, then one u8
+        all-gather moves the payloads. JSON, not pickle - pred dicts are
+        lists of Python ints/floats by construction (test_rally), and the
+        same bytes are what test.py writes to the eval-analysis artifact,
+        so the transport cannot change the result. Every process returns
+        the identical merged dict, ordered like a single-process run.
+        """
+        from jax.experimental import multihost_utils
+
+        payload = np.frombuffer(json.dumps(local).encode(), np.uint8)
+        sizes = np.asarray(
+            multihost_utils.process_allgather(np.array([payload.size], np.int64))
+        ).reshape(-1)
+        buf = np.zeros(int(sizes.max()), np.uint8)
+        buf[: payload.size] = payload
+        stacked = np.asarray(multihost_utils.process_allgather(buf))
+        if stacked.ndim == 1:  # single process: allgather returns unstacked
+            stacked = stacked[None]
+        merged: Dict[str, Dict] = {}
+        for i in range(len(sizes)):
+            merged.update(json.loads(stacked[i, : int(sizes[i])].tobytes().decode()))
+        ordered = {}
+        for rally_dir in rally_dirs:
+            match_dir, rally_id = parse_rally_dir(rally_dir)
+            key = f"{match_dir.split('match')[-1]}_{rally_id}"
+            ordered[key] = merged[key]
+        return ordered
 
 
 def get_test_res(pred_dict: Dict, data_dir: str, drop: bool = False) -> Dict:
