@@ -22,13 +22,20 @@ def main():
     parser.add_argument("--verbose", action="store_true", default=False)
     parser.add_argument("--debug", action="store_true", default=False)
     parser.add_argument("--linear_interp", action="store_true", default=False)
-    parser.add_argument("--exact_decode", action="store_true", default=False,
-                        help="decode heatmaps on the host with the reference's "
-                        "exact largest-bbox-area contour rule (bit-exact "
-                        "reference eval semantics; fetches full heatmaps, "
-                        "slower than the on-device decoder)")
+    parser.add_argument("--exact_decode", nargs="?", const="device",
+                        default="", choices=["", "device", "host"],
+                        help="use the reference's exact largest-bbox-area "
+                        "blob rule instead of the peak-blob decoder. Bare "
+                        "flag (= 'device'): the rule runs on device, same "
+                        "fetch cost as the default decoder; 'host': the "
+                        "original host CCL path (full heatmap fetch, "
+                        "slower) kept as the unbounded oracle")
     parser.add_argument("--data_dir", type=str, default="data")
     parser.add_argument("--num_devices", type=int, default=None, help="shard window batches over a data-parallel mesh (default: single device)")
+    parser.add_argument("--input_hw", type=str, default="",
+                        help="model input resolution 'H,W'; default: the "
+                        "resolution stored in the TrackNet checkpoint "
+                        "(falls back to config HEIGHT,WIDTH)")
     args = parser.parse_args()
 
     from tracknetv3_tpu.parallel.mesh import apply_platform_override, ensure_virtual_devices
@@ -49,6 +56,11 @@ def main():
     print("Loading checkpoint...")
     tracknet = inpaintnet = None
     tn_seq_len, in_seq_len, bg_mode = 8, 16, ""
+    # Model input resolution: CLI override > checkpoint param_dict > config
+    # default. Checkpoints trained at a custom --input_hw carry it in their
+    # param_dict (TrainConfig.to_param_dict); evaluating such a model at the
+    # default resolution would silently produce wrong coordinates (ADVICE r4).
+    input_hw = tuple(int(v) for v in args.input_hw.split(",")) if args.input_hw else None
     if args.tracknet_file:
         model, variables, pd = load_model_from_checkpoint(args.tracknet_file)
         tracknet = (model, variables)
@@ -56,6 +68,10 @@ def main():
         bg_mode = pd.get("bg_mode", "")
         param_dict["tracknet_seq_len"] = tn_seq_len
         param_dict["bg_mode"] = bg_mode
+        if input_hw is None and pd.get("input_hw"):
+            input_hw = tuple(int(v) for v in pd["input_hw"])
+    if input_hw is not None:
+        param_dict["input_hw"] = list(input_hw)
     if args.inpaintnet_file:
         model, variables, pd = load_model_from_checkpoint(args.inpaintnet_file)
         inpaintnet = (model, variables)
@@ -79,6 +95,7 @@ def main():
         tolerance=args.tolerance,
         mesh=mesh,
         exact_decode=args.exact_decode,
+        input_hw=input_hw,
     )
 
     if args.video_file:
@@ -96,7 +113,7 @@ def main():
         match_dir, rally_id = parse_video_file(args.video_file)
         rally_dir = os.path.join(match_dir, "frame", rally_id)
         label_df = read_label_csv(label_csv_path(match_dir, rally_id))
-        cache = FrameCache(args.data_dir, bg_mode)
+        cache = FrameCache(args.data_dir, bg_mode, input_hw=input_hw)
         pred = engine.test_rally(args.data_dir, rally_dir, cache)
         out_video = os.path.join(args.save_dir, f"{rally_id}.mp4")
         out_csv = os.path.join(args.save_dir, f"{rally_id}_ball.csv")

@@ -40,26 +40,43 @@ model, variables = get_model("TrackNet", 3, "")
 engine = RallyTestEngine((model, variables), tracknet_seq_len=3, bg_mode="",
                          eval_mode="weight", batch_size=4,
                          input_hw=(32, 64))
-pred = engine.test({data_dir!r}, "val")
+pred = engine.test({data_dir!r}, "val", save_inpaint_mask=True)
 digest = hashlib.sha256(
     json.dumps(pred, sort_keys=False).encode()).hexdigest()
+# predicted_csv coverage: every process must write the FULL set from the
+# merged dict, not just its own rally shard (ADVICE r4 - hosts without a
+# shared filesystem otherwise end with partial CSVs that break the
+# downstream InpaintNet flows)
+import glob
+n_csv = len(glob.glob(os.path.join({data_dir!r}, "*", "match*",
+                                   "predicted_csv", "*_ball.csv")))
 print("MHENGINE", {pid}, digest, ",".join(sorted(pred)),
-      engine.last_eval_stats["frames"], flush=True)
+      engine.last_eval_stats["frames"], n_csv, flush=True)
 """
 
 
 def test_multihost_rally_engine(tmp_path):
+    import shutil
+
     from __graft_entry__ import _make_tiny_dataset
 
     data_dir = str(tmp_path / "data")
     # two matches x one rally = 2 rallies: pid 0 and pid 1 get one each
     _make_tiny_dataset(data_dir, splits=("val",))
+    # Each child gets its OWN dataset copy: simulates hosts WITHOUT a
+    # shared filesystem, so the predicted_csv full-set assertion below
+    # actually proves per-process coverage (identical content keeps the
+    # digests comparable).
+    dirs = {}
+    for tag in ("p0", "p1", "solo"):
+        dirs[tag] = str(tmp_path / tag)
+        shutil.copytree(data_dir, dirs[tag])
 
     with socket.socket() as s:
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
 
-    def spawn(pid, nproc):
+    def spawn(pid, nproc, data_dir):
         script = CHILD.format(repo=REPO, port=port, pid=pid, nproc=nproc,
                               data_dir=data_dir)
         env = dict(os.environ)
@@ -71,7 +88,8 @@ def test_multihost_rally_engine(tmp_path):
         )
 
     # a 2-process group plus one standalone single-process oracle
-    procs = [spawn(0, 2), spawn(1, 2), spawn(0, 1)]
+    procs = [spawn(0, 2, dirs["p0"]), spawn(1, 2, dirs["p1"]),
+             spawn(0, 1, dirs["solo"])]
     lines = []
     for i, p in enumerate(procs):
         out, err = p.communicate(timeout=1200)
@@ -82,8 +100,11 @@ def test_multihost_rally_engine(tmp_path):
     digests = {ln[2] for ln in lines}
     keys = {ln[3] for ln in lines}
     frames = {ln[4] for ln in lines}
+    n_csvs = {ln[5] for ln in lines}
     # every process (sharded or not) ends with the identical full pred_dict,
     # covering both rallies
     assert len(digests) == 1, lines
     assert keys == {"1_1_00_00,2_1_00_00"}, lines
     assert frames == {"24"}, lines
+    # ...and the full predicted_csv set on its own (non-shared) filesystem
+    assert n_csvs == {"2"}, lines

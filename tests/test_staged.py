@@ -330,6 +330,115 @@ def test_predict_videos_skips_corrupt_file(tmp_path, small_res):
         predict_videos([bad, good], **kw)  # default on_error='raise'
 
 
+def test_predict_videos_wave_accounting(tmp_path, small_res):
+    """The serving scheduler's videos->waves->buckets decomposition is an
+    observable contract (``stats=``): a budget sized to 48 bucket-frames
+    per wave must split four videos into exactly two 2-video waves, each
+    holding one semaphore slot, with per-video bucket lengths recorded -
+    and results must still match the single-video staged path."""
+    from tracknetv3_tpu.inference import predict_videos
+
+    p = _make_predictor(tmp_path, bg_mode="concat")
+    p.native_decode = False
+    clips = []
+    for i, T in enumerate((10, 17, 9, 20)):
+        path = str(tmp_path / f"clip_wave{i}.mp4")
+        _write_clip(path, T, seed=60 + i)
+        clips.append(path)
+    expected = {f: p.run_staged(p.stage_video(f, bucket_frames=16))
+                for f in clips}
+
+    fb = H * W * 3
+    stats = {}
+    results = predict_videos(
+        clips, tracknet_file="", bucket_quantum=16,
+        staging_budget_bytes=2 * 48 * fb,  # wave budget = 48 bucket frames
+        predictor=p, stats=stats,
+    )
+    assert results == expected
+    assert [w["videos"] for w in stats["waves"]] == [clips[:2], clips[2:]]
+    assert [w["buckets"] for w in stats["waves"]] == [[16, 32], [16, 32]]
+    assert [w["slots"] for w in stats["waves"]] == [1, 1]
+    assert stats["streaming"] == []
+
+    # Predictor reuse (long-lived serving session): a second dispatch on
+    # the same predictor reproduces the results bit for bit.
+    stats2 = {}
+    again = predict_videos(clips, tracknet_file="", bucket_quantum=16,
+                           staging_budget_bytes=2 * 48 * fb,
+                           predictor=p, stats=stats2)
+    assert again == expected and stats2["waves"] == stats["waves"]
+
+
+def test_predict_videos_solo_oversized_and_streaming(tmp_path, small_res):
+    """A video over HALF the staging budget runs as its own 2-slot
+    (unpipelined) wave; one over the FULL budget falls back to the
+    bounded-memory streaming path - both recorded in stats and both still
+    producing per-frame predictions."""
+    from tracknetv3_tpu.inference import predict_videos
+
+    p = _make_predictor(tmp_path, bg_mode="concat")
+    p.native_decode = False
+    lengths = (10, 30, 50)  # buckets 16, 32, 64 at quantum 16
+    clips = []
+    for i, T in enumerate(lengths):
+        path = str(tmp_path / f"clip_solo{i}.mp4")
+        _write_clip(path, T, seed=70 + i)
+        clips.append(path)
+
+    fb = H * W * 3
+    stats = {}
+    results = predict_videos(
+        clips, tracknet_file="", bucket_quantum=16,
+        staging_budget_bytes=40 * fb,  # wave budget 20 frames: 32 is solo
+        predictor=p, stats=stats,
+    )
+    assert [w["videos"] for w in stats["waves"]] == [[clips[0]], [clips[1]]]
+    assert [w["slots"] for w in stats["waves"]] == [1, 2]
+    assert stats["streaming"] == [clips[2]]
+    for f, T in zip(clips, lengths):
+        assert len(results[f]["Frame"]) == T
+
+
+def test_predict_videos_failing_first_video_slot_return(tmp_path, small_res):
+    """A first video whose UPLOAD fails (probe passed, wave slots already
+    acquired) must return its semaphore slots instead of deadlocking the
+    producer, and the rest of the batch must complete with the wave
+    accounting showing only the survivors."""
+    from tracknetv3_tpu.inference import predict_videos
+
+    p = _make_predictor(tmp_path, bg_mode="concat")
+    p.native_decode = False
+    clips = []
+    for i, T in enumerate((12, 11, 13)):
+        path = str(tmp_path / f"clip_fail{i}.mp4")
+        _write_clip(path, T, seed=80 + i)
+        clips.append(path)
+
+    real_upload = p.upload_video_slabs
+
+    def flaky_upload(f, *a, **kw):
+        if f == clips[0]:
+            raise RuntimeError("injected upload failure")
+        return real_upload(f, *a, **kw)
+
+    p.upload_video_slabs = flaky_upload
+    stats = {}
+    results = predict_videos(
+        clips, tracknet_file="", bucket_quantum=16,
+        predictor=p, stats=stats, on_error="skip",
+    )
+    assert clips[0] not in results
+    assert sorted(results) == sorted(clips[1:])
+    assert [w["videos"] for w in stats["waves"]] == [clips[1:]]
+    assert len(results[clips[1]]["Frame"]) == 11
+
+    # Same injection under the default on_error='raise' must propagate.
+    with pytest.raises(RuntimeError, match="injected upload failure"):
+        predict_videos(clips, tracknet_file="", bucket_quantum=16,
+                       predictor=p)
+
+
 def test_finalize_staged_empty_raises(tmp_path, small_res):
     """Zero decoded frames must fail with a clear error, not an
     IndexError inside jit tracing."""

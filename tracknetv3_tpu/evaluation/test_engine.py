@@ -674,16 +674,26 @@ class RallyTestEngine:
                     output_gt=output_gt,
                 )
             pred_dict[rally_key] = pred
-            if save_inpaint_mask:
+        if pc > 1:
+            pred_dict = self._merge_pred_dicts(pred_dict, rally_dirs)
+        if save_inpaint_mask:
+            # Write predicted_csv from the MERGED dict so every process
+            # holds the full CSV set even without a shared filesystem
+            # (ADVICE r4: writing inside the per-shard loop left each host
+            # with a partial set, breaking the downstream InpaintNet flows
+            # that read these CSVs).
+            for rally_dir in rally_dirs:
+                match_dir, rally_id = parse_rally_dir(rally_dir)
+                rally_key = f"{match_dir.split('match')[-1]}_{rally_id}"
+                if rally_key not in pred_dict:
+                    continue  # debug=True truncates the rally list
                 out_dir = os.path.join(match_dir, "predicted_csv")
                 os.makedirs(out_dir, exist_ok=True)
                 write_pred_csv(
-                    pred,
+                    pred_dict[rally_key],
                     os.path.join(out_dir, f"{rally_id}_ball.csv"),
                     save_inpaint_mask=True,
                 )
-        if pc > 1:
-            pred_dict = self._merge_pred_dicts(pred_dict, rally_dirs)
         seconds = time.time() - t0
         frames = sum(len(p["Frame"]) for p in pred_dict.values())
         self.last_eval_stats = dict(
@@ -710,8 +720,18 @@ class RallyTestEngine:
         from jax.experimental import multihost_utils
 
         payload = np.frombuffer(json.dumps(local).encode(), np.uint8)
+        # int32 explicitly: with jax_enable_x64 off, an int64 array would be
+        # silently downcast in transport, so a >2 GiB payload would wrap
+        # negative and corrupt the merge. Assert instead of wrapping
+        # (ADVICE r4); shard the split across more processes if this trips.
+        if payload.size >= 2**31:
+            raise ValueError(
+                f"per-process pred-dict payload is {payload.size} bytes, "
+                "over the 2 GiB int32 all-gather limit - use more processes "
+                "or fewer output fields (output_bbox/output_gt)"
+            )
         sizes = np.asarray(
-            multihost_utils.process_allgather(np.array([payload.size], np.int64))
+            multihost_utils.process_allgather(np.array([payload.size], np.int32))
         ).reshape(-1)
         buf = np.zeros(int(sizes.max()), np.uint8)
         buf[: payload.size] = payload

@@ -1618,6 +1618,8 @@ def predict_videos(
     on_error: str = "raise",
     program_cache_dir: Optional[str] = None,
     stage_format: str = "auto",
+    predictor: Optional["TrackNetPredictor"] = None,
+    stats: Optional[dict] = None,
 ) -> Dict[str, Dict[str, list]]:
     """Batch serving flow over many videos (one model load, shared programs).
 
@@ -1646,6 +1648,16 @@ def predict_videos(
     files are reported to stderr and dropped) instead of aborting the
     batch; the default ``'raise'`` propagates, matching predict_video.
 
+    ``predictor`` reuses an already-constructed :class:`TrackNetPredictor`
+    (a long-lived serving session dispatching repeated batches keeps its
+    compiled programs and skips the model reload); the model/eval kwargs
+    above are then ignored. ``stats``, if given a dict, is filled with the
+    wave accounting of this call — ``stats['waves']`` is a list of
+    ``{'videos': [...], 'slots': n, 'buckets': [frame counts]}`` in compute
+    order and ``stats['streaming']`` the files that fell back to the
+    bounded-memory streaming path — so schedulers/benchmarks/tests can
+    verify the videos→waves→buckets decomposition instead of inferring it.
+
     Returns {video_path: prediction dict}; with ``save_dir`` each video
     also writes ``{name}_ball.csv`` (and optionally the overlay video).
     """
@@ -1657,17 +1669,22 @@ def predict_videos(
 
         mesh = make_mesh(num_devices)
 
-    kw = {} if input_hw is None else {"input_hw": input_hw}
-    predictor = TrackNetPredictor(
-        tracknet_file,
-        inpaintnet_file or None,
-        eval_mode=eval_mode,
-        batch_size=batch_size,
-        native_decode=native_decode,
-        program_cache_dir=program_cache_dir,
-        stage_format=stage_format,
-        **kw,
-    )
+    if predictor is None:
+        kw = {} if input_hw is None else {"input_hw": input_hw}
+        predictor = TrackNetPredictor(
+            tracknet_file,
+            inpaintnet_file or None,
+            eval_mode=eval_mode,
+            batch_size=batch_size,
+            native_decode=native_decode,
+            program_cache_dir=program_cache_dir,
+            stage_format=stage_format,
+            **kw,
+        )
+    if stats is None:
+        stats = {}
+    stats["waves"] = []
+    stats["streaming"] = []
     frame_bytes = predictor.h * predictor.w * 3
 
     def _finish(video_file: str, pred: Dict[str, list], src_wh) -> Dict[str, list]:
@@ -1783,10 +1800,13 @@ def predict_videos(
         finally:
             wave_q.put(SENTINEL)
 
-    def consume_wave(wave):
+    def consume_wave(slots, wave):
         # Finalize AFTER every wave member is uploaded: finalize runs a
         # device program; each video's slabs are dropped right after its
         # finalize, so peak HBM stays ~wave_bytes + one bucket.
+        wave_stat = {"videos": [f for (f, *_rest) in wave], "slots": slots,
+                     "buckets": []}
+        stats["waves"].append(wave_stat)
         staged_wave: List[Tuple[str, StagedVideo]] = []
         for k, (f, slabs, src_wh, yuv) in enumerate(wave):
             def fin(f=f, slabs=slabs, src_wh=src_wh, yuv=yuv):
@@ -1798,6 +1818,7 @@ def predict_videos(
             staged, ok = _guard(f, fin)
             wave[k] = None  # drop slab refs -> HBM freed
             if ok:
+                wave_stat["buckets"].append(int(staged.buf.shape[0]))
                 staged_wave.append((f, staged))
         for f, staged in staged_wave:
             def run(f=f, staged=staged):
@@ -1816,7 +1837,7 @@ def predict_videos(
             break
         slots, wave = item
         try:
-            consume_wave(wave)
+            consume_wave(slots, wave)
         finally:
             del wave, item  # free staged buffers before the next wave
             for _ in range(slots):
@@ -1825,6 +1846,7 @@ def predict_videos(
     if producer_err:
         raise producer_err[0]
 
+    stats["streaming"] = list(streaming)
     if streaming and mesh is not None:
         print(
             f"warning: {len(streaming)} video(s) exceed the staging budget "
