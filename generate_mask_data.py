@@ -25,12 +25,14 @@ def main():
     )
     parser.add_argument("--tolerance", type=float, default=4)
     parser.add_argument(
-        "--exact_decode", action="store_true", default=False,
-        help="decode ensembled heatmaps on the host with the reference's "
-        "largest-bbox-area contour rule (reference test.py:52-79) instead "
-        "of the on-device peak-blob decoder; the two differ only on "
-        "multi-blob frames, and this makes the InpaintNet training CSVs "
-        "reproducible under the exact reference recipe",
+        "--exact_decode", nargs="?", const="device", default="",
+        choices=["", "device", "host"],
+        help="use the reference's largest-bbox-area blob rule (reference "
+        "test.py:52-79) instead of the peak-blob decoder, making the "
+        "InpaintNet training CSVs reproducible under the exact reference "
+        "recipe; the two differ only on multi-blob frames. Bare flag "
+        "(= 'device') runs the rule on device at the default decoder's "
+        "fetch cost; 'host' keeps the original host CCL oracle path",
     )
     parser.add_argument("--data_dir", type=str, default="data")
     parser.add_argument("--debug", action="store_true", default=False)

@@ -40,11 +40,14 @@ def test_exact_decode_follows_reference_rule():
     eval_step = lambda state, b: (jnp.float32(0.0), jnp.asarray(probs))  # noqa: E731
 
     _, res_exact = eval_tracknet(None, eval_step, [batch], exact_decode=True)
+    _, res_host = eval_tracknet(None, eval_step, [batch], exact_decode="host")
     _, res_dev = eval_tracknet(None, eval_step, [batch], exact_decode=False)
 
-    # exact rule: both frames TP
-    assert res_exact["TP"] == 2 and res_exact["FP1"] == 0
-    assert res_exact["accuracy"] == 1.0
+    # exact rule (device executor AND host oracle): both frames TP
+    for res in (res_exact, res_host):
+        assert res["TP"] == 2 and res["FP1"] == 0
+        assert res["accuracy"] == 1.0
+    assert res_exact == res_host
     # device peak rule: frame 0 decodes the bright small blob -> FP1
     assert res_dev["TP"] == 1 and res_dev["FP1"] == 1
     assert res_dev["accuracy"] == 0.5

@@ -65,20 +65,31 @@ def compare(frames: np.ndarray, cx_t: np.ndarray, cy_t: np.ndarray,
     disagreement + metric stats."""
     import jax.numpy as jnp
 
-    from tracknetv3_tpu.ops.detect import decode_heatmaps, decode_heatmaps_host
+    from tracknetv3_tpu.ops.detect import (
+        decode_heatmaps,
+        decode_heatmaps_exact,
+        decode_heatmaps_host,
+    )
 
     N = frames.shape[0]
     dev_cx = np.zeros(N, np.int64)
     dev_cy = np.zeros(N, np.int64)
+    ex_cx = np.zeros(N, np.int64)
+    ex_cy = np.zeros(N, np.int64)
     B = 256
     for lo in range(0, N, B):
         d = decode_heatmaps(jnp.asarray(frames[lo : lo + B]))
         dev_cx[lo : lo + B] = np.asarray(d["cx"])
         dev_cy[lo : lo + B] = np.asarray(d["cy"])
+        e = decode_heatmaps_exact(jnp.asarray(frames[lo : lo + B]))
+        ex_cx[lo : lo + B] = np.asarray(e["cx"])
+        ex_cy[lo : lo + B] = np.asarray(e["cy"])
     host = decode_heatmaps_host(frames)
     h_cx, h_cy = host["cx"].astype(np.int64), host["cy"].astype(np.int64)
 
     disagree = (dev_cx != h_cx) | (dev_cy != h_cy)
+    # The device EXACT decoder must reproduce the host rule everywhere.
+    exact_dev_disagree = int(((ex_cx != h_cx) | (ex_cy != h_cy)).sum())
     t_dev = _classify(dev_cx, dev_cy, cx_t, cy_t, tolerance)
     t_host = _classify(h_cx, h_cy, cx_t, cy_t, tolerance)
     m_dev = _f1_from_types(t_dev)
@@ -87,6 +98,7 @@ def compare(frames: np.ndarray, cx_t: np.ndarray, cy_t: np.ndarray,
         frames=int(N),
         disagreements=int(disagree.sum()),
         disagree_rate_per_10k=round(1e4 * float(disagree.mean()), 2),
+        exact_device_vs_host_disagreements=exact_dev_disagree,
         f1_device=round(m_dev["f1"], 6),
         f1_exact=round(m_host["f1"], 6),
         delta_f1=round(m_dev["f1"] - m_host["f1"], 6),

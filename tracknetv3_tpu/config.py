@@ -110,11 +110,13 @@ class TrainConfig:
     # LOST at full-step level and stay opt-in research flags on
     # tracknet_train_forward only.
     split_up_entry: bool = True
-    # Validation decoding rule for best-checkpoint selection: False = the
-    # on-device peak-blob kernel (fast), True = the reference's exact
-    # largest-bbox-area contour rule on the host (reference test.py:52-79;
-    # fetches full heatmaps per val batch).
-    exact_decode: bool = False
+    # Validation decoding rule for best-checkpoint selection: False/"" =
+    # the on-device peak-blob kernel (fast), True/"device" = the
+    # reference's exact largest-bbox-area rule ON DEVICE
+    # (ops.detect.decode_heatmaps_exact, same fetch cost), "host" = the
+    # original host CCL oracle (reference test.py:52-79; fetches full
+    # heatmaps per val batch).
+    exact_decode: Any = False
     # Model input resolution (h, w); None = the reference's 288x512
     # (module constants HEIGHT/WIDTH). Threaded through the split index,
     # frame caches and loaders so alternate resolutions (e.g. tiny CI

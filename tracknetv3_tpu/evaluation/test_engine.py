@@ -64,7 +64,7 @@ class RallyTestEngine:
         tolerance: float = 4.0,
         num_workers: int = 0,  # accepted for CLI parity; unused (no worker procs)
         mesh=None,  # jax.sharding.Mesh: shard window batches across chips
-        exact_decode: bool = False,  # host largest-bbox-area decode rule
+        exact_decode=False,  # largest-bbox-area rule: True=device, "host"=host CCL
         input_hw=None,  # (H, W) model resolution; default config HEIGHT x WIDTH
     ):
         self.tracknet = tracknet
@@ -77,12 +77,21 @@ class RallyTestEngine:
         self.batch_size = batch_size
         self.tolerance = tolerance
         self.mesh = mesh
-        # exact_decode: decode ensembled heatmaps on the HOST with the
-        # reference's exact largest-bbox-area contour rule (native CCL /
-        # scipy) instead of the on-device peak-blob kernel - bit-exact
-        # reference evaluation semantics at the cost of fetching full
-        # heatmaps per rally (reference: test.py:52-79).
+        # exact_decode: apply the reference's exact largest-bbox-area
+        # blob-choice rule (reference test.py:52-79) instead of the
+        # production peak-blob kernel. True (the default exact mode) runs
+        # the rule ON DEVICE (ops.detect.decode_heatmaps_exact - same
+        # packed-decode fetch shape as production, no heatmap D2H);
+        # "host" keeps the original host path (native CCL / scipy, full
+        # heatmap fetch per rally) as the unbounded oracle.
         self.exact_decode = exact_decode
+        from ..ops.detect import decode_heatmaps_exact
+
+        self._decode = (
+            decode_heatmaps_exact
+            if (exact_decode and exact_decode != "host")
+            else decode_heatmaps
+        )
         if mesh is not None:
             assert batch_size % mesh.size == 0, (
                 f"batch_size {batch_size} not divisible by mesh size {mesh.size}"
@@ -158,7 +167,7 @@ class RallyTestEngine:
         state, frames = ensemble_update_fn(
             state, wins.astype(jnp.float32), self._weights, n_valid
         )
-        return state, self._pack_dec(decode_heatmaps(frames))
+        return state, self._pack_dec(self._decode(frames))
 
     def _overlap_collect_fn(self, n_chunks):
         """Fused flush + concat (one dispatch + one fetch).
@@ -177,7 +186,7 @@ class RallyTestEngine:
             def impl(state, packs):
                 body = jnp.concatenate(packs, axis=0)
                 if self.seq_len > 1:
-                    tail = self._pack_dec(decode_heatmaps(ensemble_flush(state)))
+                    tail = self._pack_dec(self._decode(ensemble_flush(state)))
                     return jnp.concatenate([body, tail], axis=0)
                 return body
 
@@ -187,7 +196,7 @@ class RallyTestEngine:
     def _nonoverlap_step_impl(self, rgb, diff, median, starts):
         wins = self._forward_cached(rgb, diff, median, starts)
         flat = wins.reshape((-1,) + wins.shape[2:])
-        return self._pack_dec(decode_heatmaps(flat))
+        return self._pack_dec(self._decode(flat))
 
     # ----------------------- exact-decode device steps -----------------------
     # These return the ENSEMBLED HEATMAPS instead of decoding on device;
@@ -387,7 +396,7 @@ class RallyTestEngine:
             staged = self._stage_rally(cache, rally_dir, frame_ids)
         rgb_dev, diff_dev, med_dev = staged
 
-        if self.exact_decode:
+        if self.exact_decode == "host":
             return self._predict_rally_heatmap_exact(rgb_dev, diff_dev, med_dev, T)
 
         if self.eval_mode == "nonoverlap":

@@ -41,11 +41,14 @@ def main():
                         help="stage ALL split frames to device memory once; each "
                         "step then ships only window indices (TrackNet, single "
                         "device; falls back if the split exceeds the HBM budget)")
-    parser.add_argument("--exact_decode", action="store_true", default=False,
+    parser.add_argument("--exact_decode", nargs="?", const="device",
+                        default="", choices=["", "device", "host"],
                         help="validation decodes heatmaps with the reference's "
-                        "exact largest-bbox-area contour rule on the host "
-                        "(best-checkpoint selection matches the reference on "
-                        "multi-blob frames; slower val eval)")
+                        "exact largest-bbox-area blob rule (best-checkpoint "
+                        "selection matches the reference on multi-blob "
+                        "frames). Bare flag (= 'device') runs the rule on "
+                        "device at the default decoder's fetch cost; 'host' "
+                        "keeps the original host CCL oracle (slower val eval)")
     parser.add_argument("--profile", type=str, default="",
                         help="capture a jax.profiler trace into this directory")
     parser.add_argument("--multihost", action="store_true", default=False,
