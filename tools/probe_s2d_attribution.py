@@ -54,6 +54,11 @@ def main():
     ap.add_argument("--k-long", type=int, default=9)
     ap.add_argument("--skip-full", action="store_true",
                     help="part A only (per-layer)")
+    ap.add_argument("--layers", type=str, default="d1c1,d1c2,u3c1",
+                    help="comma-separated layer subset (each variant "
+                    "costs 2 remote compiles - on slow relay sessions "
+                    "a ~5 min constant per program - so trim when the "
+                    "session is degraded)")
     args = ap.parse_args()
 
     from tracknetv3_tpu.utils.compile_cache import enable_persistent_cache
@@ -97,10 +102,13 @@ def main():
                                         dimension_numbers=dn)
 
     # ---------------- Part A: per-layer fwd / fwd+bwd ----------------
+    sel = {v for v in args.layers.split(",") if v}
     layers = [
-        ("d1c1", 288, 512, 24, 64),
-        ("d1c2", 288, 512, 64, 64),
-        ("u3c1", 288, 512, 192, 64),
+        l for l in [
+            ("d1c1", 288, 512, 24, 64),
+            ("d1c2", 288, 512, 64, 64),
+            ("u3c1", 288, 512, 192, 64),
+        ] if l[0] in sel
     ]
     print("# layer  variant      f_ms    fb_ms   (slope, batch %d)" % N,
           flush=True)
