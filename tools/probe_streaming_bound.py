@@ -43,9 +43,13 @@ def decode_only(video: str, w: int, h: int, native: bool) -> int:
 
         r = open_native_video(video, w, h, lowres=-1, bgr=False)
         if r is not None:
-            while r.read() is not None:
-                n += 1
-            r.release()
+            # mirror _streaming_host_resize's read_batch(64) consumption
+            while True:
+                arr = r.read_batch(64)
+                if arr is None:
+                    break
+                n += len(arr)
+            r.close()
             return n
     import cv2
 
