@@ -618,7 +618,7 @@ def test_warmup_compiles_the_exported_program(tmp_path, small_res):
     assert ("exported", False, "scan", 11) in p._staged_steps
     assert len([f for f in os.listdir(pdir) if f.endswith(".jaxexp")]) == 1
     warmed = p._staged_steps[("exported", False, "scan", 11)]
-    # the cached callable must be the BARE exported.call, not a jit
+    # the cached callable must dispatch the BARE exported.call, not a jit
     # wrapper: dispatching jit(exported.call) re-traces the embedded
     # module through call_exported in every fresh process (measured
     # 450 s for a 480-frame video - PROFILE.md round-3 item 3)
@@ -627,9 +627,6 @@ def test_warmup_compiles_the_exported_program(tmp_path, small_res):
     # run_staged dispatched the very object warmup compiled
     assert p._staged_steps[("exported", False, "scan", 11)] is warmed
     assert len(pred["Frame"]) == 11
-    # checkpoint bytes were hashed exactly once for the cache-path key
-    assert p._ckpt_digest_cache is not None
-    assert p._ckpt_digest() is p._ckpt_digest_cache
 
 
 def test_program_cache_bucketed_roundtrip(tmp_path, small_res):

@@ -128,6 +128,7 @@ class TrackNetPredictor:
         # as the flax module to bf16 rounding, ~170x faster on this TPU
         # runtime - see models/fused_forward.py).
         self._folded = fold_batchnorm(self.tracknet_vars)
+        self._folded_dev = None  # device/dtype copy, lazy: _folded_device()
         self.seq_len = int(tn_pd["seq_len"])
         self.bg_mode = tn_pd.get("bg_mode", "")
         self.eval_mode = eval_mode
@@ -174,10 +175,13 @@ class TrackNetPredictor:
         # executable cache covers that) but Python TRACING + MLIR lowering
         # of the big staged-scan program (~4 min for a 480-frame video on
         # a 1-core host). Serialized Exported blobs skip retracing
-        # entirely. Blobs embed the model weights and are keyed by
-        # (checkpoint bytes, shapes, jax version, backend, package source
-        # digest) - editing or upgrading the package invalidates old blobs
-        # automatically.
+        # entirely. The model weights are a runtime ARGUMENT (see
+        # _folded_device - embedding them made the cached executable so
+        # large this runtime's deserializer cost as much as recompiling);
+        # blobs are keyed by (param shapes, config, jax version, backend,
+        # package source digest) - editing or upgrading the package
+        # invalidates old blobs automatically, and checkpoints of the same
+        # architecture share one blob.
         import os as _os
 
         self.program_cache_dir = (
@@ -186,7 +190,6 @@ class TrackNetPredictor:
             else _os.environ.get("TRACKNETV3_TPU_PROGRAM_CACHE") or None
         )
         self._ckpt_paths = (tracknet_file, inpaintnet_file or "")
-        self._ckpt_digest_cache = None  # filled lazily by _ckpt_digest()
 
     # ----------------------------- device steps -----------------------------
 
@@ -378,12 +381,50 @@ class TrackNetPredictor:
         of the same program."""
         key = (bgr, "scan", mesh)
         if key not in self._staged_steps:
+            impl = self._staged_scan_impl(bgr, mesh)
+            jitted = jax.jit(impl)
+            self._staged_steps[key] = (
+                lambda buf, med, state, s_real: jitted(
+                    self._folded_device(), buf, med, state, s_real
+                )
+            )
+        return self._staged_steps[key]
+
+    def _folded_device(self):
+        """The folded-BN TrackNet params as a device-resident tree in the
+        compute dtype, uploaded once (lazily, AFTER staging has had its
+        shot at the fast H2D window - predictor __init__ must stay free of
+        device work, see bench.py's subprocess checkpoint rationale).
+
+        Passed as a runtime ARGUMENT to the staged scan rather than being
+        closed over: embedded-constant weights made the exported program's
+        compiled executable ~72 MB, and this runtime deserializes cached
+        executables at ~1 MB/s, so a persistent-cache HIT cost as much as
+        the remote compile it was supposed to skip (measured: 74 s hit vs
+        31 s fresh compile on the tiny-shape scan; 198-254 s on the
+        480-frame program). Weights-as-args shrinks the executable to the
+        program alone (~2 MB, seconds to load) and lets checkpoints of the
+        same architecture share one blob. The f32->compute-dtype cast here
+        is the same cast the traced-constant path performed at lowering
+        time, so outputs are bit-identical (parity-pinned)."""
+        if self._folded_dev is None:
+            dt = self.compute_dtype
+            self._folded_dev = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, dt), self._folded
+            )
+        return self._folded_dev
+
+    def _staged_scan_impl(self, bgr: bool, mesh=None):
+        """Raw 5-arg scan body (folded params first) shared by the jit
+        path (_staged_scan_fn) and the jax.export path (_acquire_scan)."""
+        key = (bgr, "scan_impl", mesh)
+        if key not in self._staged_steps:
             pre = make_staged_preprocessor(
                 self.bg_mode, self.seq_len, bgr, out_dtype=self.compute_dtype
             )
             L, B = self.seq_len, self.batch_size
 
-            def impl(buf, med, state, s_real):
+            def impl(folded, buf, med, state, s_real):
                 from .models.fused_forward import tracknet_fused_forward
 
                 T_b = buf.shape[0]
@@ -399,7 +440,7 @@ class TrackNetPredictor:
                             pre(buf, med, w0 + jnp.arange(B)), mesh
                         )
                         probs = tracknet_fused_forward(
-                            self._folded, x, dtype=self.compute_dtype
+                            folded, x, dtype=self.compute_dtype
                         )
                         wp = jnp.moveaxis(probs, -1, 1).astype(jnp.float32)
                         st, frames = ensemble_update_fn(
@@ -431,7 +472,7 @@ class TrackNetPredictor:
             # no donation: the scan returns only packed rows (the state
             # dies inside the program), so the donated f32 ensemble tail
             # could never alias an output - XLA just warned every run
-            self._staged_steps[key] = jax.jit(impl)
+            self._staged_steps[key] = impl
         return self._staged_steps[key]
 
     def _staged_step_nonoverlap(self, bgr: bool, mesh=None):
@@ -769,39 +810,31 @@ class TrackNetPredictor:
 
     # ------------------------ AOT program cache -----------------------------
 
-    def _ckpt_digest(self) -> bytes:
-        """SHA-256 over the checkpoint file bytes, computed once per
-        predictor (the paths are fixed at construction; re-hashing
-        hundreds of MB per cache lookup would cost seconds per video)."""
-        if self._ckpt_digest_cache is None:
-            import hashlib
-
-            h = hashlib.sha256()
-            for p in self._ckpt_paths:
-                if p:
-                    with open(p, "rb") as f:
-                        h.update(f.read())
-            self._ckpt_digest_cache = h.digest()
-        return self._ckpt_digest_cache
-
     def _program_cache_path(self, kind: str, bgr: bool, T: int) -> str:
         """Blob path keyed by everything that shapes the traced program:
-        checkpoint bytes (weights are embedded constants in the export),
-        video length/batch/eval-mode/dtype/resolution, jax version and
-        backend (Exported records the lowering platform), and a digest of
-        this package's own source - upgrading or editing the package
+        the folded-params tree structure/shapes (weights themselves are a
+        runtime ARGUMENT since v3, so same-architecture checkpoints share
+        one blob - and, critically, the compiled executable stays ~2 MB
+        instead of embedding 70 MB of weight constants this runtime
+        deserializes at ~1 MB/s, see _folded_device), video
+        length/batch/eval-mode/dtype/resolution, jax version and backend
+        (Exported records the lowering platform), and a digest of this
+        package's own source - upgrading or editing the package
         automatically invalidates stale blobs, so a blob can never execute
         an OLD traced program after a code change (previously the
         documented remedy was "delete the dir after upgrading")."""
         import hashlib
         import os
 
+        shape_sig = str(
+            jax.tree_util.tree_map(lambda a: tuple(a.shape), self._folded)
+        )
         h = hashlib.sha256()
-        h.update(self._ckpt_digest())
+        h.update(shape_sig.encode())
         h.update(
-            # v2: the scan takes a traced s_real scalar (unified
-            # bucketed/exact program); v1 blobs have a 3-arg signature
-            f"v2|{kind}|{bgr}|{T}|{self.batch_size}|{self.seq_len}|"
+            # v3: folded params are a runtime argument (weightless blob);
+            # v1/v2 blobs embedded weights and have different signatures
+            f"v3|{kind}|{bgr}|{T}|{self.batch_size}|{self.seq_len}|"
             f"{self.eval_mode}|{self.compute_dtype}|{self.h}x{self.w}|"
             f"{jax.__version__}|{jax.default_backend()}".encode()
         )
@@ -850,8 +883,11 @@ class TrackNetPredictor:
             # warmup_staged warms this exact callable by executing it with
             # s_real=0 (all chunks cond-skipped, so that costs ~ms).
             call = exported.call
-            self._staged_steps[key] = call
-            return call
+            wrapped = lambda buf, med, state, s_real: call(  # noqa: E731
+                self._folded_device(), buf, med, state, s_real
+            )
+            self._staged_steps[key] = wrapped
+            return wrapped
         # miss: trace once, persist, and EXECUTE VIA THE EXPORT from now
         # on - the exported module's HLO differs from the plain jit's, so
         # running the jit here would leave the cold process's
@@ -860,20 +896,32 @@ class TrackNetPredictor:
         try:
             med = self._staged_median_arg(staged)
             state = ensemble_init(self.seq_len, (self.h, self.w))
-            args = (staged.buf, med, state, jnp.int32(0))
+            # folded params lead the signature (runtime argument, NOT an
+            # embedded constant - see _folded_device for why that matters)
+            args = (
+                self._folded_device(),
+                staged.buf,
+                med,
+                state,
+                jnp.int32(0),
+            )
             sds = jax.tree_util.tree_map(
                 lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
                 args,
             )
-            exported = jax_export.export(fn)(*sds)
+            impl = self._staged_scan_impl(staged.bgr, mesh)
+            exported = jax_export.export(jax.jit(impl))(*sds)
             os.makedirs(self.program_cache_dir, exist_ok=True)
             tmp = f"{path}.tmp.{os.getpid()}"
             with open(tmp, "wb") as f:
                 f.write(exported.serialize())
             os.replace(tmp, path)
             call = exported.call  # bare: see the deserialize branch above
-            self._staged_steps[key] = call
-            return call
+            wrapped = lambda buf, med, state, s_real: call(  # noqa: E731
+                self._folded_device(), buf, med, state, s_real
+            )
+            self._staged_steps[key] = wrapped
+            return wrapped
         except Exception as e:  # noqa: BLE001 - cache is optional
             import sys
 
