@@ -732,3 +732,51 @@ def test_predict_video_buckets_and_persists_blobs_by_default(tmp_path):
     )
     assert pred1 == pred2
     assert [f for f in os.listdir(pdir) if f.endswith(".jaxexp")] == blobs
+
+
+def test_program_blob_shared_across_same_arch_checkpoints(tmp_path, small_res):
+    """Since v3 the exported scan takes the folded params as a runtime
+    ARGUMENT (not embedded constants - an embedded-weights executable is
+    ~72 MB, which the target runtime deserializes at ~1 MB/s, making a
+    cache HIT as slow as the compile it should skip; PROFILE.md "Round-5:
+    the cold-start regression"). Two checkpoints of the same architecture
+    must therefore map to the SAME blob path, each producing predictions
+    that track its OWN weights."""
+    import os
+
+    pdir = str(tmp_path / "programs")
+    rng = np.random.default_rng(77)
+    buf = rng.integers(0, 255, (11, H, W, 3), np.uint8)
+
+    paths = []
+    for i in range(2):
+        model, variables = get_model("TrackNet", L, "concat")
+        ck = str(tmp_path / f"tn_share_{i}.pt")
+        save_checkpoint(
+            ck, epoch=0, max_val_acc=0.0, model=variables,
+            param_dict=dict(model_name="TrackNet", seq_len=L, bg_mode="concat"),
+        )
+        paths.append(ck)
+
+    p1 = inf.TrackNetPredictor(paths[0], eval_mode="weight", batch_size=4,
+                               input_hw=(H, W), program_cache_dir=pdir)
+    p2 = inf.TrackNetPredictor(paths[1], eval_mode="weight", batch_size=4,
+                               input_hw=(H, W), program_cache_dir=pdir)
+    assert (p1._program_cache_path("scan", False, 11)
+            == p2._program_cache_path("scan", False, 11))
+
+    pred1 = p1.run_staged(_staged_from_buf(p1, buf), img_scaler=(1.0, 1.0))
+    blobs = [f for f in os.listdir(pdir) if f.endswith(".jaxexp")]
+    assert len(blobs) == 1, blobs
+    # p2 reuses the blob but runs its OWN weights through it: the blob is
+    # weightless, so its predictions must match p2's pure-jit path, and
+    # no second blob may appear
+    pred2 = p2.run_staged(_staged_from_buf(p2, buf), img_scaler=(1.0, 1.0))
+    assert [f for f in os.listdir(pdir) if f.endswith(".jaxexp")] == blobs
+    assert ("exported", False, "scan", 11) in p2._staged_steps
+
+    p2_jit = inf.TrackNetPredictor(paths[1], eval_mode="weight", batch_size=4,
+                                   input_hw=(H, W))  # no program cache: jit
+    pred2_jit = p2_jit.run_staged(_staged_from_buf(p2_jit, buf),
+                                  img_scaler=(1.0, 1.0))
+    assert pred2 == pred2_jit
