@@ -477,15 +477,16 @@ def test_streaming_steps_honor_compute_dtype(tmp_path, small_res):
         input_hw=(H, W),
     )
     rgb = jnp.zeros((4 + L - 1, H, W, 3), jnp.uint8)
+    folded = p._folded_device()
     jaxpr = jax.make_jaxpr(
         lambda r: p._overlap_step_preresized_impl(
-            r, None, None, jnp.int32(0), jnp.int32(4)
+            folded, r, None, None, jnp.int32(0), jnp.int32(4)
         )
     )(rgb)
     assert "bf16" not in str(jaxpr)
     rgb_n = jnp.zeros((2 * L, H, W, 3), jnp.uint8)
     jaxpr_n = jax.make_jaxpr(
-        lambda r: p._nonoverlap_step_preresized_impl(r, None, None)
+        lambda r: p._nonoverlap_step_preresized_impl(folded, r, None, None)
     )(rgb_n)
     assert "bf16" not in str(jaxpr_n)
 

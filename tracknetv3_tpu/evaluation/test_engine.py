@@ -104,18 +104,50 @@ class RallyTestEngine:
             )
         if eval_mode != "nonoverlap" and tracknet is not None:
             self._weights = jnp.asarray(get_ensemble_weight(self.seq_len, eval_mode))
-        self._nonoverlap_step = jax.jit(self._nonoverlap_step_impl)
-        self._inpaint_fwd = jax.jit(self._inpaint_fwd_impl)
+        # Params ride as a leading runtime ARGUMENT into every jitted step
+        # (bound below) instead of being closed over: embedded-constant
+        # weights bloat persistent-cache executables to ~72 MB, which this
+        # runtime deserializes at ~1 MB/s - a cross-process cache HIT then
+        # costs as much as the compile (PROFILE.md "Round-5: the
+        # cold-start regression"). Same design as TrackNetPredictor.
+        self._folded_dev = None
+        self._ivars_dev = None
+        self._nonoverlap_step = self._bind_folded(
+            jax.jit(self._nonoverlap_step_impl)
+        )
+        self._inpaint_fwd = self._bind_ivars(jax.jit(self._inpaint_fwd_impl))
         self._staged_rallies: Dict[str, tuple] = {}
         self._jit_cache: Dict[tuple, object] = {}
-        self._overlap_tail_step = jax.jit(
-            self._overlap_tail_step_impl, donate_argnums=(3,)
+        self._overlap_tail_step = self._bind_folded(
+            jax.jit(self._overlap_tail_step_impl, donate_argnums=(4,))
         )
         self.last_eval_stats: Dict[str, float] = {}
 
     # ------------------------- TrackNet device steps -------------------------
 
-    def _forward_cached(self, rgb, diff, median, starts):
+    def _bind_folded(self, jitted):
+        wrapper = lambda *args: jitted(self._folded_device(), *args)  # noqa: E731
+        wrapper._cache_size = jitted._cache_size
+        return wrapper
+
+    def _bind_ivars(self, jitted):
+        wrapper = lambda *args: jitted(self._ivars_device(), *args)  # noqa: E731
+        wrapper._cache_size = jitted._cache_size
+        return wrapper
+
+    def _folded_device(self):
+        if self._folded_dev is None:
+            self._folded_dev = jax.tree_util.tree_map(jnp.asarray, self._folded)
+        return self._folded_dev
+
+    def _ivars_device(self):
+        if self._ivars_dev is None:
+            self._ivars_dev = jax.tree_util.tree_map(
+                jnp.asarray, self.inpaintnet[1]
+            )
+        return self._ivars_dev
+
+    def _forward_cached(self, folded, rgb, diff, median, starts):
         """Window assembly from cached resized frames + U-Net forward."""
         from ..models.fused_forward import tracknet_fused_forward
 
@@ -140,7 +172,7 @@ class RallyTestEngine:
             from ..parallel.mesh import batch_sharding
 
             x = jax.lax.with_sharding_constraint(x, batch_sharding(self.mesh))
-        probs = tracknet_fused_forward(self._folded, x)
+        probs = tracknet_fused_forward(folded, x)
         return jnp.moveaxis(probs, -1, 1)  # (B, L, H, W)
 
     @staticmethod
@@ -158,12 +190,12 @@ class RallyTestEngine:
             axis=1,
         )
 
-    def _overlap_tail_step_impl(self, rgb, diff, median, state, w0, n_valid):
+    def _overlap_tail_step_impl(self, folded, rgb, diff, median, state, w0, n_valid):
         """Carried-tail overlap chunk: forwards exactly B windows (the
         stateless form recomputes L-1 boundary windows per chunk, +22%
         FLOPs at B=16); ensemble tail is donated between dispatches."""
         B = self.batch_size
-        wins = self._forward_cached(rgb, diff, median, w0 + jnp.arange(B))
+        wins = self._forward_cached(folded, rgb, diff, median, w0 + jnp.arange(B))
         state, frames = ensemble_update_fn(
             state, wins.astype(jnp.float32), self._weights, n_valid
         )
@@ -193,8 +225,8 @@ class RallyTestEngine:
             self._jit_cache[key] = jax.jit(impl, donate_argnums=(0,))
         return self._jit_cache[key]
 
-    def _nonoverlap_step_impl(self, rgb, diff, median, starts):
-        wins = self._forward_cached(rgb, diff, median, starts)
+    def _nonoverlap_step_impl(self, folded, rgb, diff, median, starts):
+        wins = self._forward_cached(folded, rgb, diff, median, starts)
         flat = wins.reshape((-1,) + wins.shape[2:])
         return self._pack_dec(self._decode(flat))
 
@@ -206,26 +238,28 @@ class RallyTestEngine:
         key = ("overlap_frames",)
         if key not in self._jit_cache:
 
-            def impl(rgb, diff, median, state, w0, n_valid):
+            def impl(folded, rgb, diff, median, state, w0, n_valid):
                 B = self.batch_size
-                wins = self._forward_cached(rgb, diff, median, w0 + jnp.arange(B))
+                wins = self._forward_cached(folded, rgb, diff, median, w0 + jnp.arange(B))
                 state, frames = ensemble_update_fn(
                     state, wins.astype(jnp.float32), self._weights, n_valid
                 )
                 return state, frames
 
-            self._jit_cache[key] = jax.jit(impl, donate_argnums=(3,))
+            self._jit_cache[key] = self._bind_folded(
+                jax.jit(impl, donate_argnums=(4,))
+            )
         return self._jit_cache[key]
 
     def _nonoverlap_step_frames(self):
         key = ("nonoverlap_frames",)
         if key not in self._jit_cache:
 
-            def impl(rgb, diff, median, starts):
-                wins = self._forward_cached(rgb, diff, median, starts)
+            def impl(folded, rgb, diff, median, starts):
+                wins = self._forward_cached(folded, rgb, diff, median, starts)
                 return wins.reshape((-1,) + wins.shape[2:])
 
-            self._jit_cache[key] = jax.jit(impl)
+            self._jit_cache[key] = self._bind_folded(jax.jit(impl))
         return self._jit_cache[key]
 
     def _concat_frames_fn(self, n_parts, with_tail: bool):
@@ -458,9 +492,9 @@ class RallyTestEngine:
 
     # --------------------------- InpaintNet pipeline -------------------------
 
-    def _inpaint_fwd_impl(self, cw, mw):
-        model, variables = self.inpaintnet
-        out = model.apply(variables, cw, mw)
+    def _inpaint_fwd_impl(self, ivars, cw, mw):
+        model, _ = self.inpaintnet
+        out = model.apply(ivars, cw, mw)
         out = out * mw + cw * (1.0 - mw)
         th = (out[..., 0] < COOR_TH) & (out[..., 1] < COOR_TH)
         return jnp.where(th[..., None], 0.0, out)

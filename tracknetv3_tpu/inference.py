@@ -148,6 +148,7 @@ class TrackNetPredictor:
         self.stage_format = stage_format
         self.decode_backend = "unused"
         self.inpaintnet = None
+        self._inpaint_vars_dev = None  # lazy device copy: _inpaint_vars_device()
         if inpaintnet_file:
             self.inpaintnet, self.inpaintnet_vars, in_pd = load_model_from_checkpoint(
                 inpaintnet_file
@@ -156,19 +157,40 @@ class TrackNetPredictor:
         self._preproc = make_window_preprocessor(
             self.bg_mode, self.seq_len, hw=(self.h, self.w)
         )
-        self._inpaint_overlap = jax.jit(self._inpaint_overlap_impl)
-        self._inpaint_nonoverlap = jax.jit(self._inpaint_nonoverlap_impl)
+        # Every jitted step takes its params as a leading runtime ARGUMENT
+        # (bound here via _bind_folded/_bind_ivars) instead of closing over
+        # them: closure params become embedded constants, which bloats the
+        # persistent-cache executable to ~72 MB and makes a cross-process
+        # cache HIT as slow as a recompile on this runtime (~1 MB/s
+        # executable deserialization - PROFILE.md "Round-5: the cold-start
+        # regression"). Public call signatures are unchanged.
+        self._inpaint_overlap = self._bind_ivars(
+            jax.jit(self._inpaint_overlap_impl)
+        )
+        self._inpaint_nonoverlap = self._bind_ivars(
+            jax.jit(self._inpaint_nonoverlap_impl)
+        )
         self._weights = jnp.asarray(
             get_ensemble_weight(
                 self.seq_len, eval_mode if eval_mode != "nonoverlap" else "average"
             )
         )
-        self._overlap_step = jax.jit(self._overlap_step_impl)
-        self._overlap_step_resident = jax.jit(self._overlap_step_resident_impl)
-        self._overlap_step_preresized = jax.jit(self._overlap_step_preresized_impl)
-        self._nonoverlap_step = jax.jit(self._nonoverlap_step_impl)
-        self._nonoverlap_step_resident = jax.jit(self._nonoverlap_step_resident_impl)
-        self._nonoverlap_step_preresized = jax.jit(self._nonoverlap_step_preresized_impl)
+        self._overlap_step = self._bind_folded(jax.jit(self._overlap_step_impl))
+        self._overlap_step_resident = self._bind_folded(
+            jax.jit(self._overlap_step_resident_impl)
+        )
+        self._overlap_step_preresized = self._bind_folded(
+            jax.jit(self._overlap_step_preresized_impl)
+        )
+        self._nonoverlap_step = self._bind_folded(
+            jax.jit(self._nonoverlap_step_impl)
+        )
+        self._nonoverlap_step_resident = self._bind_folded(
+            jax.jit(self._nonoverlap_step_resident_impl)
+        )
+        self._nonoverlap_step_preresized = self._bind_folded(
+            jax.jit(self._nonoverlap_step_preresized_impl)
+        )
         self._staged_steps: Dict[Tuple[bool, str], object] = {}
         # AOT program cache (jax.export): on this class of host the
         # dominant cold-start cost is not XLA compilation (the persistent
@@ -193,24 +215,38 @@ class TrackNetPredictor:
 
     # ----------------------------- device steps -----------------------------
 
-    def _forward_windows(self, frames_u8, median, starts):
+    def _bind_folded(self, jitted):
+        """Prepend the device-resident folded TrackNet params to a jitted
+        step whose impl takes them as its first argument (see the __init__
+        comment: params-as-args keeps cached executables small)."""
+        wrapper = lambda *args: jitted(self._folded_device(), *args)  # noqa: E731
+        wrapper._cache_size = jitted._cache_size  # test/introspection hook
+        return wrapper
+
+    def _bind_ivars(self, jitted):
+        """Same binding for the InpaintNet variables."""
+        wrapper = lambda *args: jitted(self._inpaint_vars_device(), *args)  # noqa: E731
+        wrapper._cache_size = jitted._cache_size
+        return wrapper
+
+    def _forward_windows(self, folded, frames_u8, median, starts):
         from .models.fused_forward import tracknet_fused_forward
 
         x = self._preproc(frames_u8, median, starts)
-        probs = tracknet_fused_forward(self._folded, x, dtype=self.compute_dtype)  # (B, H, W, L)
+        probs = tracknet_fused_forward(folded, x, dtype=self.compute_dtype)  # (B, H, W, L)
         return jnp.moveaxis(probs, -1, 1)  # (B, L, H, W)
 
-    def _overlap_step_impl(self, frames_u8, median, t0, num_windows):
+    def _overlap_step_impl(self, folded, frames_u8, median, t0, num_windows):
         """Stateless chunk: frames_u8 covers global frames
         [t0-L+1, t0+B+L-1) (host-clipped at the video bounds); forwards
         the B+L-1 windows, ensembles, decodes frames t0..t0+B-1."""
         L = self.seq_len
         nwin = frames_u8.shape[0] - (L - 1)  # == B + L - 1
-        wins = self._forward_windows(frames_u8, median, jnp.arange(nwin))
+        wins = self._forward_windows(folded, frames_u8, median, jnp.arange(nwin))
         frames = ensemble_chunk(wins, self._weights, t0, num_windows)
         return decode_heatmaps(frames)
 
-    def _overlap_step_resident_impl(self, all_frames, median, t0, num_windows):
+    def _overlap_step_resident_impl(self, folded, all_frames, median, t0, num_windows):
         """Overlap chunk against a device-RESIDENT padded frame buffer.
 
         ``all_frames`` is front-padded with L-1 copies of frame 0 (and
@@ -224,7 +260,7 @@ class TrackNetPredictor:
         L, B = self.seq_len, self.batch_size
         chunk = jax.lax.dynamic_slice_in_dim(all_frames, t0, B + 2 * L - 2, axis=0)
         nwin = B + L - 1
-        wins = self._forward_windows(chunk, median, jnp.arange(nwin))
+        wins = self._forward_windows(folded, chunk, median, jnp.arange(nwin))
         frames = ensemble_chunk(wins, self._weights, t0, num_windows)
         dec = decode_heatmaps(frames)
         return jnp.stack([dec["cx"], dec["cy"], dec["vis"]], axis=-1)
@@ -238,7 +274,7 @@ class TrackNetPredictor:
         back = jnp.repeat(frames_u8[-1:], total - (L - 1) - T, axis=0)
         return jnp.concatenate([front, frames_u8, back], axis=0)
 
-    def _overlap_step_preresized_impl(self, rgb, diff, median_resized, t0, num_windows):
+    def _overlap_step_preresized_impl(self, folded, rgb, diff, median_resized, t0, num_windows):
         """Overlap chunk whose inputs are already model-resolution frames
         (host-resized). Used by the streaming path: shipping 288x512
         uint8 instead of raw 720p cuts per-chunk H2D ~6x (and ~190x vs
@@ -268,7 +304,7 @@ class TrackNetPredictor:
         dec = decode_heatmaps(frames)
         return jnp.stack([dec["cx"], dec["cy"], dec["vis"]], axis=-1)
 
-    def _nonoverlap_step_preresized_impl(self, rgb, diff, median_resized):
+    def _nonoverlap_step_preresized_impl(self, folded, rgb, diff, median_resized):
         """Nonoverlap chunk on host-resized frames (streaming --large_video
         with eval_mode=nonoverlap; frames arrive in groups of B*L)."""
         from .ops.preprocess import gather_windows, window_channels
@@ -299,14 +335,14 @@ class TrackNetPredictor:
         dec = decode_heatmaps(flat)
         return jnp.stack([dec["cx"], dec["cy"], dec["vis"]], axis=-1)
 
-    def _nonoverlap_step_impl(self, frames_u8, median):
+    def _nonoverlap_step_impl(self, folded, frames_u8, median):
         L = self.seq_len
         B = frames_u8.shape[0] // L
-        wins = self._forward_windows(frames_u8, median, jnp.arange(B) * L)
+        wins = self._forward_windows(folded, frames_u8, median, jnp.arange(B) * L)
         flat = wins.reshape((B * L,) + wins.shape[2:])
         return decode_heatmaps(flat)
 
-    def _nonoverlap_step_resident_impl(self, all_frames, median, w0, num_frames):
+    def _nonoverlap_step_resident_impl(self, folded, all_frames, median, w0, num_frames):
         """Nonoverlap chunk against a resident padded buffer: windows
         w0..w0+B-1 (start frames clipped at the video bounds like the
         reference's repeat-last-frame padding). Packed (B*L, 3) output.
@@ -327,7 +363,7 @@ class TrackNetPredictor:
         # matching the reference's repeat-last-frame rule.
         idx = jnp.clip(base + jnp.arange(span), 0, all_frames.shape[0] - 1)
         chunk = jnp.take(all_frames, idx, axis=0)
-        wins = self._forward_windows(chunk, median, starts_abs - base)
+        wins = self._forward_windows(folded, chunk, median, starts_abs - base)
         flat = wins.reshape((B * L,) + wins.shape[2:])
         dec = decode_heatmaps(flat)
         return jnp.stack([dec["cx"], dec["cy"], dec["vis"]], axis=-1)
@@ -1442,20 +1478,29 @@ class TrackNetPredictor:
 
     # ----------------------------- inpaint stage ----------------------------
 
-    def _inpaint_forward(self, cw, mw):
+    def _inpaint_vars_device(self):
+        """InpaintNet variables as a device-resident tree, uploaded once
+        (runtime argument to the jitted inpaint steps - see __init__)."""
+        if self._inpaint_vars_dev is None:
+            self._inpaint_vars_dev = jax.tree_util.tree_map(
+                jnp.asarray, self.inpaintnet_vars
+            )
+        return self._inpaint_vars_dev
+
+    def _inpaint_forward(self, ivars, cw, mw):
         """Composite + COOR_TH-thresholded InpaintNet forward on windows."""
-        out = self.inpaintnet.apply(self.inpaintnet_vars, cw, mw)
+        out = self.inpaintnet.apply(ivars, cw, mw)
         out = out * mw + cw * (1.0 - mw)
         th = (out[..., 0] < COOR_TH) & (out[..., 1] < COOR_TH)
         return jnp.where(th[..., None], 0.0, out)
 
-    def _inpaint_nonoverlap_impl(self, cw, mw):
-        out = self._inpaint_forward(cw, mw)
+    def _inpaint_nonoverlap_impl(self, ivars, cw, mw):
+        out = self._inpaint_forward(ivars, cw, mw)
         return out.reshape(-1, 2)
 
-    def _inpaint_overlap_impl(self, cw, mw, n_valid):
+    def _inpaint_overlap_impl(self, ivars, cw, mw, n_valid):
         L = self.inpaintnet_seq_len
-        out = self._inpaint_forward(cw, mw)  # (pad_S, L, 2)
+        out = self._inpaint_forward(ivars, cw, mw)  # (pad_S, L, 2)
         weights = jnp.asarray(get_ensemble_weight(L, self.eval_mode))
         lead = jnp.zeros((L - 1,) + out.shape[1:], out.dtype)
         wins = jnp.concatenate([lead, out], axis=0)
