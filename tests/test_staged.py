@@ -369,6 +369,17 @@ def test_predict_videos_wave_accounting(tmp_path, small_res):
                            predictor=p, stats=stats2)
     assert again == expected and stats2["waves"] == stats["waves"]
 
+    # A budget admitting everything schedules ONE wave (bench.py
+    # --serve_one_wave semantics: all videos stage before the first
+    # dispatch) with identical results.
+    stats1w = {}
+    one = predict_videos(clips, tracknet_file="", bucket_quantum=16,
+                         staging_budget_bytes=2 * 1000 * fb,
+                         predictor=p, stats=stats1w)
+    assert one == expected
+    assert [w["videos"] for w in stats1w["waves"]] == [clips]
+    assert stats1w["streaming"] == []
+
 
 def test_predict_videos_solo_oversized_and_streaming(tmp_path, small_res):
     """A video over HALF the staging budget runs as its own 2-slot
